@@ -1,0 +1,866 @@
+// Native host-side runtime for density-tpu.
+//
+// Clean-room C++ implementation of the three density block formats,
+// built from the normative spec in SURVEY.md §2a (reference:
+// /root/reference/src/codec/codec.rs:34-126,
+// src/codec/protection_state.rs:9-47, src/algorithms/*/).
+//
+// Roles in the framework:
+//   1. density-compatible C ABI ({chameleon,cheetah,lion}_{encode,decode,
+//      safe_encode_buffer_size}) so existing FFI users of the reference
+//      can link against this library unchanged (reference:
+//      chameleon.rs:70-84, cheetah.rs:105-118, lion.rs:193-206).
+//   2. Fast host-side oracle for corpus-scale correctness tests.
+//   3. Stream scanner: computes per-block offsets/copy-flags of a
+//      compressed stream so the TPU decode path can parallelize over
+//      blocks (the serial block-boundary chain is inherent to the
+//      headerless format; it runs here at ~GB/s).
+//   4. Scalar fallback for pathological streams where the device-side
+//      fixed-point iteration does not converge.
+//
+// Build: see build.py (g++ -O3 -shared -fPIC).
+
+#include <cstdint>
+#include <cstring>
+#include <cstddef>
+#include <vector>
+
+namespace {
+
+constexpr uint32_t kHashMul = 0x9D6EF916u;
+constexpr int kHashBits = 16;
+
+inline uint16_t hash16(uint32_t quad) {
+  return static_cast<uint16_t>((quad * kHashMul) >> (32 - kHashBits));
+}
+
+inline uint32_t load_u32le(const uint8_t* p) {
+  uint32_t v;
+  std::memcpy(&v, p, 4);
+  return v;  // little-endian hosts only (x86/arm)
+}
+inline uint16_t load_u16le(const uint8_t* p) {
+  uint16_t v;
+  std::memcpy(&v, p, 2);
+  return v;
+}
+inline void store_u32le(uint8_t* p, uint32_t v) { std::memcpy(p, &v, 4); }
+inline void store_u16le(uint8_t* p, uint16_t v) { std::memcpy(p, &v, 2); }
+inline void store_u64le(uint8_t* p, uint64_t v) { std::memcpy(p, &v, 8); }
+
+// Blowup-protection FSM (reference: protection_state.rs:9-47).
+struct Protection {
+  uint8_t copy_penalty = 0;
+  uint8_t copy_penalty_start = 1;
+  bool previous_incompressible = false;
+  uint64_t counter = 0;
+
+  bool revert_to_copy() {
+    if ((counter & 0xF) == 0 && copy_penalty_start > 1) copy_penalty_start >>= 1;
+    counter++;
+    return copy_penalty > 0;
+  }
+  void decay() {
+    if (--copy_penalty == 0) copy_penalty_start++;
+  }
+  void update(bool incompressible) {
+    if (incompressible) {
+      if (previous_incompressible) copy_penalty = copy_penalty_start;
+      previous_incompressible = true;
+    } else {
+      previous_incompressible = false;
+    }
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Chameleon: 1-bit flags, 64-bit signature, 256-byte blocks
+// (reference: chameleon.rs:34-151)
+// ---------------------------------------------------------------------------
+
+struct Chameleon {
+  static constexpr size_t kBlock = 256;
+  static constexpr size_t kSigBytes = 8;
+  std::vector<uint32_t> dict;
+  Chameleon() : dict(1u << kHashBits, 0) {}
+
+  size_t encode(const uint8_t* in, size_t in_size, uint8_t* out, size_t out_cap);
+  size_t decode(const uint8_t* in, size_t in_size, uint8_t* out, size_t out_cap);
+};
+
+size_t Chameleon::encode(const uint8_t* in, size_t in_size, uint8_t* out,
+                         size_t out_cap) {
+  Protection prot;
+  size_t op = 0;
+  for (size_t bs = 0; bs < in_size; bs += kBlock) {
+    size_t blen = in_size - bs < kBlock ? in_size - bs : kBlock;
+    const uint8_t* block = in + bs;
+    if (prot.revert_to_copy()) {
+      if (op + blen > out_cap) return 0;
+      std::memcpy(out + op, block, blen);
+      op += blen;
+      prot.decay();
+      continue;
+    }
+    size_t mark = op;
+    size_t sig_pos = op;
+    uint64_t sig = 0;
+    int shift = 0;
+    op += kSigBytes;
+    if (op > out_cap) return 0;
+    size_t full = blen / 4;
+    if (op + blen + kSigBytes > out_cap) return 0;  // worst case for block
+    for (size_t q = 0; q < full; q++) {
+      uint32_t quad = load_u32le(block + 4 * q);
+      uint16_t h = hash16(quad);
+      uint32_t& slot = dict[h];
+      if (slot != quad) {
+        // plain flag = 0 (no bit set)
+        store_u32le(out + op, quad);
+        op += 4;
+        slot = quad;
+      } else {
+        sig |= 1ull << shift;
+        store_u16le(out + op, h);
+        op += 2;
+      }
+      shift += 1;
+    }
+    size_t rem = blen - 4 * full;
+    if (rem) {
+      std::memcpy(out + op, block + 4 * full, rem);
+      op += rem;
+    }
+    store_u64le(out + sig_pos, sig);
+    prot.update(op - mark >= kBlock);
+  }
+  return op;
+}
+
+size_t Chameleon::decode(const uint8_t* in, size_t in_size, uint8_t* out,
+                         size_t out_cap) {
+  Protection prot;
+  size_t ip = 0, op = 0;
+  auto plain = [&](size_t& ip) {
+    uint32_t quad = load_u32le(in + ip);
+    ip += 4;
+    dict[hash16(quad)] = quad;
+    return quad;
+  };
+  auto mapped = [&](size_t& ip) {
+    uint16_t h = load_u16le(in + ip);
+    ip += 2;
+    return dict[h];
+  };
+  while (in_size - ip >= kSigBytes + kBlock) {
+    if (prot.revert_to_copy()) {
+      if (op + kBlock > out_cap) return 0;
+      std::memcpy(out + op, in + ip, kBlock);
+      ip += kBlock;
+      op += kBlock;
+      prot.decay();
+      continue;
+    }
+    size_t mark = ip;
+    uint64_t sig;
+    std::memcpy(&sig, in + ip, 8);
+    ip += 8;
+    if (op + kBlock > out_cap) return 0;
+    for (int u = 0; u < 64; u++) {
+      uint32_t quad = (sig & 1) ? mapped(ip) : plain(ip);
+      sig >>= 1;
+      store_u32le(out + op, quad);
+      op += 4;
+    }
+    prot.update(ip - mark >= kBlock);
+  }
+  // Tail
+  while (in_size - ip > 0) {
+    if (prot.revert_to_copy()) {
+      size_t rem = in_size - ip;
+      // reference codec.rs:104-110: strict `remaining > block_size`
+      if (rem > kBlock) {
+        if (op + kBlock > out_cap) return 0;
+        std::memcpy(out + op, in + ip, kBlock);
+        ip += kBlock;
+        op += kBlock;
+        prot.decay();
+        continue;
+      }
+      if (op + rem > out_cap) return 0;
+      std::memcpy(out + op, in + ip, rem);
+      return op + rem;
+    }
+    size_t mark = ip;
+    if (in_size - ip < kSigBytes) return op;  // malformed; stop safely
+    uint64_t sig;
+    std::memcpy(&sig, in + ip, 8);
+    ip += 8;
+    for (int u = 0; u < 64; u++) {
+      uint64_t flag = sig & 1;
+      sig >>= 1;
+      if (flag == 0) {
+        size_t rem = in_size - ip;
+        if (rem == 0) return op;
+        if (rem <= 3) {
+          if (op + rem > out_cap) return 0;
+          std::memcpy(out + op, in + ip, rem);
+          return op + rem;
+        }
+        if (op + 4 > out_cap) return 0;
+        store_u32le(out + op, plain(ip));
+      } else {
+        if (op + 4 > out_cap) return 0;
+        store_u32le(out + op, mapped(ip));
+      }
+      op += 4;
+    }
+    prot.update(ip - mark >= kBlock);
+  }
+  return op;
+}
+
+// ---------------------------------------------------------------------------
+// Cheetah: 2-bit flags, dual MRU dictionary + 1 prediction slot,
+// 128-byte blocks (reference: cheetah.rs:42-203)
+// ---------------------------------------------------------------------------
+
+struct Cheetah {
+  static constexpr size_t kBlock = 128;
+  static constexpr size_t kSigBytes = 8;
+  std::vector<uint32_t> chunk_a, chunk_b, pred;
+  uint16_t last_hash = 0;
+  Cheetah()
+      : chunk_a(1u << kHashBits, 0),
+        chunk_b(1u << kHashBits, 0),
+        pred(1u << kHashBits, 0) {}
+
+  size_t encode(const uint8_t* in, size_t in_size, uint8_t* out, size_t out_cap);
+  size_t decode(const uint8_t* in, size_t in_size, uint8_t* out, size_t out_cap);
+};
+
+size_t Cheetah::encode(const uint8_t* in, size_t in_size, uint8_t* out,
+                       size_t out_cap) {
+  Protection prot;
+  size_t op = 0;
+  for (size_t bs = 0; bs < in_size; bs += kBlock) {
+    size_t blen = in_size - bs < kBlock ? in_size - bs : kBlock;
+    const uint8_t* block = in + bs;
+    if (prot.revert_to_copy()) {
+      if (op + blen > out_cap) return 0;
+      std::memcpy(out + op, block, blen);
+      op += blen;
+      prot.decay();
+      continue;
+    }
+    size_t mark = op;
+    size_t sig_pos = op;
+    uint64_t sig = 0;
+    int shift = 0;
+    op += kSigBytes;
+    if (op + blen + kSigBytes > out_cap) return 0;
+    size_t full = blen / 4;
+    for (size_t q = 0; q < full; q++) {
+      uint32_t quad = load_u32le(block + 4 * q);
+      uint16_t h = hash16(quad);
+      uint32_t& p = pred[last_hash];
+      if (p != quad) {
+        uint32_t& a = chunk_a[h];
+        if (a != quad) {
+          uint32_t& b = chunk_b[h];
+          if (b != quad) {
+            // plain flag = 0
+            store_u32le(out + op, quad);
+            op += 4;
+          } else {
+            sig |= 2ull << shift;  // map B
+            store_u16le(out + op, h);
+            op += 2;
+          }
+          b = a;
+          a = quad;
+        } else {
+          sig |= 1ull << shift;  // map A
+          store_u16le(out + op, h);
+          op += 2;
+        }
+        p = quad;
+      } else {
+        sig |= 3ull << shift;  // predicted
+      }
+      shift += 2;
+      last_hash = h;
+    }
+    size_t rem = blen - 4 * full;
+    if (rem) {
+      std::memcpy(out + op, block + 4 * full, rem);
+      op += rem;
+    }
+    store_u64le(out + sig_pos, sig);
+    prot.update(op - mark >= kBlock);
+  }
+  return op;
+}
+
+size_t Cheetah::decode(const uint8_t* in, size_t in_size, uint8_t* out,
+                       size_t out_cap) {
+  Protection prot;
+  size_t ip = 0, op = 0;
+  auto step = [&](uint64_t flag, size_t& ip) -> uint32_t {
+    uint32_t quad;
+    uint16_t h;
+    switch (flag) {
+      case 0: {
+        quad = load_u32le(in + ip);
+        ip += 4;
+        h = hash16(quad);
+        chunk_b[h] = chunk_a[h];
+        chunk_a[h] = quad;
+        pred[last_hash] = quad;
+        break;
+      }
+      case 1: {
+        h = load_u16le(in + ip);
+        ip += 2;
+        quad = chunk_a[h];
+        pred[last_hash] = quad;
+        break;
+      }
+      case 2: {
+        h = load_u16le(in + ip);
+        ip += 2;
+        quad = chunk_b[h];
+        chunk_b[h] = chunk_a[h];
+        chunk_a[h] = quad;
+        pred[last_hash] = quad;
+        break;
+      }
+      default: {
+        quad = pred[last_hash];
+        h = hash16(quad);
+        break;
+      }
+    }
+    last_hash = h;
+    return quad;
+  };
+  while (in_size - ip >= kSigBytes + kBlock) {
+    if (prot.revert_to_copy()) {
+      if (op + kBlock > out_cap) return 0;
+      std::memcpy(out + op, in + ip, kBlock);
+      ip += kBlock;
+      op += kBlock;
+      prot.decay();
+      continue;
+    }
+    size_t mark = ip;
+    uint64_t sig;
+    std::memcpy(&sig, in + ip, 8);
+    ip += 8;
+    if (op + kBlock > out_cap) return 0;
+    for (int u = 0; u < 32; u++) {
+      uint32_t quad = step(sig & 3, ip);
+      sig >>= 2;
+      store_u32le(out + op, quad);
+      op += 4;
+    }
+    prot.update(ip - mark >= kBlock);
+  }
+  while (in_size - ip > 0) {
+    if (prot.revert_to_copy()) {
+      size_t rem = in_size - ip;
+      if (rem > kBlock) {
+        if (op + kBlock > out_cap) return 0;
+        std::memcpy(out + op, in + ip, kBlock);
+        ip += kBlock;
+        op += kBlock;
+        prot.decay();
+        continue;
+      }
+      if (op + rem > out_cap) return 0;
+      std::memcpy(out + op, in + ip, rem);
+      return op + rem;
+    }
+    size_t mark = ip;
+    if (in_size - ip < kSigBytes) return op;
+    uint64_t sig;
+    std::memcpy(&sig, in + ip, 8);
+    ip += 8;
+    for (int u = 0; u < 32; u++) {
+      uint64_t flag = sig & 3;
+      sig >>= 2;
+      if (flag == 0) {
+        size_t rem = in_size - ip;
+        if (rem == 0) return op;
+        if (rem <= 3) {
+          if (op + rem > out_cap) return 0;
+          std::memcpy(out + op, in + ip, rem);
+          return op + rem;
+        }
+      }
+      if (op + 4 > out_cap) return 0;
+      uint32_t quad = step(flag, ip);
+      store_u32le(out + op, quad);
+      op += 4;
+    }
+    prot.update(ip - mark >= kBlock);
+  }
+  return op;
+}
+
+// ---------------------------------------------------------------------------
+// Lion: 3-bit flags, dual dictionary + 5-deep prediction queue,
+// 6-byte signatures, 64-byte blocks (reference: lion.rs:59-352)
+// ---------------------------------------------------------------------------
+
+struct Lion {
+  static constexpr size_t kBlock = 64;
+  static constexpr size_t kSigBytes = 6;
+  struct Pred {
+    uint32_t a, b, c, d, e;
+  };
+  std::vector<uint32_t> chunk_a, chunk_b;
+  std::vector<Pred> pred;
+  uint16_t last_hash = 0;
+  Lion()
+      : chunk_a(1u << kHashBits, 0),
+        chunk_b(1u << kHashBits, 0),
+        pred(1u << kHashBits, Pred{0, 0, 0, 0, 0}) {}
+
+  static void shift5(Pred& p, uint32_t quad) {
+    p.e = p.d;
+    p.d = p.c;
+    p.c = p.b;
+    p.b = p.a;
+    p.a = quad;
+  }
+
+  size_t encode(const uint8_t* in, size_t in_size, uint8_t* out, size_t out_cap);
+  size_t decode(const uint8_t* in, size_t in_size, uint8_t* out, size_t out_cap);
+};
+
+size_t Lion::encode(const uint8_t* in, size_t in_size, uint8_t* out,
+                    size_t out_cap) {
+  Protection prot;
+  size_t op = 0;
+  for (size_t bs = 0; bs < in_size; bs += kBlock) {
+    size_t blen = in_size - bs < kBlock ? in_size - bs : kBlock;
+    const uint8_t* block = in + bs;
+    if (prot.revert_to_copy()) {
+      if (op + blen > out_cap) return 0;
+      std::memcpy(out + op, block, blen);
+      op += blen;
+      prot.decay();
+      continue;
+    }
+    size_t mark = op;
+    size_t sig_pos = op;
+    uint64_t sig = 0;
+    int shift = 0;
+    op += kSigBytes;
+    if (op + blen + kSigBytes + 2 > out_cap) return 0;
+    size_t full = blen / 4;
+    for (size_t q = 0; q < full; q++) {
+      uint32_t quad = load_u32le(block + 4 * q);
+      uint16_t h = hash16(quad);
+      Pred& p = pred[last_hash];
+      if (p.a == quad) {
+        sig |= 1ull << shift;  // predicted A
+      } else if (p.b == quad) {
+        sig |= 2ull << shift;
+        p.b = p.a;
+        p.a = quad;
+      } else if (p.c == quad) {
+        sig |= 3ull << shift;
+        p.c = p.b;
+        p.b = p.a;
+        p.a = quad;
+      } else if (p.d == quad) {
+        sig |= 4ull << shift;
+        p.d = p.c;
+        p.c = p.b;
+        p.b = p.a;
+        p.a = quad;
+      } else if (p.e == quad) {
+        sig |= 5ull << shift;
+        shift5(p, quad);
+      } else if (chunk_a[h] == quad) {
+        sig |= 6ull << shift;  // map A
+        store_u16le(out + op, h);
+        op += 2;
+        shift5(p, quad);
+      } else if (chunk_b[h] == quad) {
+        sig |= 7ull << shift;  // map B
+        store_u16le(out + op, h);
+        op += 2;
+        chunk_b[h] = chunk_a[h];
+        chunk_a[h] = quad;
+        shift5(p, quad);
+      } else {
+        // plain flag = 0
+        store_u32le(out + op, quad);
+        op += 4;
+        chunk_b[h] = chunk_a[h];
+        chunk_a[h] = quad;
+        shift5(p, quad);
+      }
+      shift += 3;
+      last_hash = h;
+    }
+    size_t rem = blen - 4 * full;
+    if (rem) {
+      std::memcpy(out + op, block + 4 * full, rem);
+      op += rem;
+    }
+    // write only 6 significant bytes (reference: lion.rs:334-336)
+    uint8_t sb[8];
+    store_u64le(sb, sig);
+    std::memcpy(out + sig_pos, sb, 6);
+    prot.update(op - mark >= kBlock);
+  }
+  return op;
+}
+
+size_t Lion::decode(const uint8_t* in, size_t in_size, uint8_t* out,
+                    size_t out_cap) {
+  Protection prot;
+  size_t ip = 0, op = 0;
+  auto read_sig = [&](size_t& ip) -> uint64_t {
+    // reference: lion.rs:339-351
+    if (in_size - ip <= 7) {
+      uint8_t sb[8] = {0};
+      size_t n = in_size - ip < 6 ? in_size - ip : 6;
+      std::memcpy(sb, in + ip, n);
+      ip += 6;
+      uint64_t v;
+      std::memcpy(&v, sb, 8);
+      return v;
+    }
+    uint64_t v;
+    std::memcpy(&v, in + ip, 8);
+    ip += 6;
+    return v & 0x0000FFFFFFFFFFFFull;
+  };
+  auto step = [&](uint64_t flag, size_t& ip) -> uint32_t {
+    uint32_t quad;
+    uint16_t h;
+    Pred& p = pred[last_hash];
+    switch (flag) {
+      case 0: {
+        quad = load_u32le(in + ip);
+        ip += 4;
+        h = hash16(quad);
+        chunk_b[h] = chunk_a[h];
+        chunk_a[h] = quad;
+        shift5(p, quad);
+        break;
+      }
+      case 6: {
+        h = load_u16le(in + ip);
+        ip += 2;
+        quad = chunk_a[h];
+        shift5(p, quad);
+        break;
+      }
+      case 7: {
+        h = load_u16le(in + ip);
+        ip += 2;
+        quad = chunk_b[h];
+        chunk_b[h] = chunk_a[h];
+        chunk_a[h] = quad;
+        shift5(p, quad);
+        break;
+      }
+      case 1: {
+        quad = p.a;
+        h = hash16(quad);
+        break;
+      }
+      case 2: {
+        quad = p.b;
+        h = hash16(quad);
+        p.b = p.a;
+        p.a = quad;
+        break;
+      }
+      case 3: {
+        quad = p.c;
+        h = hash16(quad);
+        p.c = p.b;
+        p.b = p.a;
+        p.a = quad;
+        break;
+      }
+      case 4: {
+        quad = p.d;
+        h = hash16(quad);
+        p.d = p.c;
+        p.c = p.b;
+        p.b = p.a;
+        p.a = quad;
+        break;
+      }
+      default: {
+        quad = p.e;
+        h = hash16(quad);
+        shift5(p, quad);
+        break;
+      }
+    }
+    last_hash = h;
+    return quad;
+  };
+  while (in_size - ip >= kSigBytes + kBlock) {
+    if (prot.revert_to_copy()) {
+      if (op + kBlock > out_cap) return 0;
+      std::memcpy(out + op, in + ip, kBlock);
+      ip += kBlock;
+      op += kBlock;
+      prot.decay();
+      continue;
+    }
+    size_t mark = ip;
+    uint64_t sig = read_sig(ip);
+    if (op + kBlock > out_cap) return 0;
+    for (int u = 0; u < 16; u++) {
+      uint32_t quad = step(sig & 7, ip);
+      sig >>= 3;
+      store_u32le(out + op, quad);
+      op += 4;
+    }
+    prot.update(ip - mark >= kBlock);
+  }
+  while (in_size - ip > 0) {
+    if (prot.revert_to_copy()) {
+      size_t rem = in_size - ip;
+      if (rem > kBlock) {
+        if (op + kBlock > out_cap) return 0;
+        std::memcpy(out + op, in + ip, kBlock);
+        ip += kBlock;
+        op += kBlock;
+        prot.decay();
+        continue;
+      }
+      if (op + rem > out_cap) return 0;
+      std::memcpy(out + op, in + ip, rem);
+      return op + rem;
+    }
+    size_t mark = ip;
+    if (in_size - ip < kSigBytes) return op;
+    uint64_t sig = read_sig(ip);
+    for (int u = 0; u < 16; u++) {
+      uint64_t flag = sig & 7;
+      sig >>= 3;
+      if (flag == 0) {
+        size_t rem = in_size - ip;
+        if (rem == 0) return op;
+        if (rem <= 3) {
+          if (op + rem > out_cap) return 0;
+          std::memcpy(out + op, in + ip, rem);
+          return op + rem;
+        }
+      }
+      if (op + 4 > out_cap) return 0;
+      uint32_t quad = step(flag, ip);
+      store_u32le(out + op, quad);
+      op += 4;
+    }
+    prot.update(ip - mark >= kBlock);
+  }
+  return op;
+}
+
+// ---------------------------------------------------------------------------
+// Stream scanner: walks the block-boundary chain of a compressed stream
+// and emits per-block metadata so the device side can decode blocks in
+// parallel. This is the host-side "graph builder" for decode -- the
+// serial chain is inherent to the headerless format (each block's size
+// is only known from its signature, whose position depends on all prior
+// blocks), so it runs here as a tight native loop.
+//
+// Outputs per block:
+//   in_offset[b]   byte offset of block b in the compressed stream
+//   out_offset[b]  byte offset of block b in the decoded stream
+//   is_copy[b]     1 if the block is a verbatim copy (protection FSM)
+// Returns number of blocks, or (size_t)-1 on malformed input.
+// ---------------------------------------------------------------------------
+
+template <typename CodecTraits>
+static size_t scan_stream(const uint8_t* in, size_t in_size,
+                          int64_t* in_offsets, int64_t* out_offsets,
+                          uint8_t* is_copy, size_t max_blocks) {
+  constexpr size_t kBlock = CodecTraits::kBlock;
+  constexpr size_t kSigBytes = CodecTraits::kSigBytes;
+  constexpr int kFlagBits = CodecTraits::kFlagBits;
+  constexpr int kQuads = kBlock / 4;
+  Protection prot;
+  size_t ip = 0, op = 0, nb = 0;
+  while (in_size - ip > 0) {
+    if (nb >= max_blocks) return static_cast<size_t>(-1);
+    in_offsets[nb] = static_cast<int64_t>(ip);
+    out_offsets[nb] = static_cast<int64_t>(op);
+    if (prot.revert_to_copy()) {
+      is_copy[nb++] = 1;
+      size_t rem = in_size - ip;
+      if (rem > kBlock) {
+        ip += kBlock;
+        op += kBlock;
+        prot.decay();
+        continue;
+      }
+      ip += rem;
+      op += rem;
+      break;
+    }
+    is_copy[nb++] = 0;
+    size_t mark = ip;
+    if (in_size - ip < kSigBytes) return static_cast<size_t>(-1);
+    uint64_t sig;
+    if (kSigBytes == 6) {
+      if (in_size - ip <= 7) {
+        uint8_t sb[8] = {0};
+        std::memcpy(sb, in + ip, 6);
+        std::memcpy(&sig, sb, 8);
+      } else {
+        std::memcpy(&sig, in + ip, 8);
+        sig &= 0x0000FFFFFFFFFFFFull;
+      }
+      ip += 6;
+    } else {
+      std::memcpy(&sig, in + ip, 8);
+      ip += 8;
+    }
+    bool ended = false;
+    for (int q = 0; q < kQuads; q++) {
+      uint64_t flag = sig & ((1u << kFlagBits) - 1);
+      sig >>= kFlagBits;
+      size_t tok = CodecTraits::payload_bytes(flag);
+      if (tok == 4) {  // plain: check ragged tail semantics
+        size_t rem = in_size - ip;
+        if (rem == 0) {
+          ended = true;
+          break;
+        }
+        if (rem <= 3) {
+          ip += rem;
+          op += rem;
+          ended = true;
+          break;
+        }
+      } else if (tok == 2) {
+        if (in_size - ip < 2) return static_cast<size_t>(-1);
+      }
+      ip += tok;
+      op += 4;
+      if (ip > in_size) return static_cast<size_t>(-1);
+    }
+    if (ended) break;
+    prot.update(ip - mark >= kBlock);
+  }
+  return nb;
+}
+
+struct ChameleonTraits {
+  static constexpr size_t kBlock = 256;
+  static constexpr size_t kSigBytes = 8;
+  static constexpr int kFlagBits = 1;
+  static size_t payload_bytes(uint64_t flag) { return flag ? 2 : 4; }
+};
+struct CheetahTraits {
+  static constexpr size_t kBlock = 128;
+  static constexpr size_t kSigBytes = 8;
+  static constexpr int kFlagBits = 2;
+  static size_t payload_bytes(uint64_t flag) {
+    switch (flag) {
+      case 0: return 4;
+      case 3: return 0;
+      default: return 2;
+    }
+  }
+};
+struct LionTraits {
+  static constexpr size_t kBlock = 64;
+  static constexpr size_t kSigBytes = 6;
+  static constexpr int kFlagBits = 3;
+  static size_t payload_bytes(uint64_t flag) {
+    if (flag == 0) return 4;
+    if (flag >= 6) return 2;
+    return 0;
+  }
+};
+
+inline size_t safe_size(size_t size, size_t block, size_t sig_bytes) {
+  // reference: codec.rs:18-21
+  size_t blocks = size / block;
+  return size + blocks * sig_bytes + (size % block ? sig_bytes : 0);
+}
+
+}  // namespace
+
+extern "C" {
+
+// --- density-compatible C ABI (reference: chameleon.rs:70-84 etc.) ---------
+
+size_t chameleon_encode(const uint8_t* input, size_t input_size,
+                        uint8_t* output, size_t output_size) {
+  Chameleon c;
+  return c.encode(input, input_size, output, output_size);
+}
+size_t chameleon_decode(const uint8_t* input, size_t input_size,
+                        uint8_t* output, size_t output_size) {
+  Chameleon c;
+  return c.decode(input, input_size, output, output_size);
+}
+size_t chameleon_safe_encode_buffer_size(size_t size) {
+  return safe_size(size, 256, 8);
+}
+
+size_t cheetah_encode(const uint8_t* input, size_t input_size, uint8_t* output,
+                      size_t output_size) {
+  Cheetah c;
+  return c.encode(input, input_size, output, output_size);
+}
+size_t cheetah_decode(const uint8_t* input, size_t input_size, uint8_t* output,
+                      size_t output_size) {
+  Cheetah c;
+  return c.decode(input, input_size, output, output_size);
+}
+size_t cheetah_safe_encode_buffer_size(size_t size) {
+  return safe_size(size, 128, 8);
+}
+
+size_t lion_encode(const uint8_t* input, size_t input_size, uint8_t* output,
+                   size_t output_size) {
+  Lion l;
+  return l.encode(input, input_size, output, output_size);
+}
+size_t lion_decode(const uint8_t* input, size_t input_size, uint8_t* output,
+                   size_t output_size) {
+  Lion l;
+  return l.decode(input, input_size, output, output_size);
+}
+size_t lion_safe_encode_buffer_size(size_t size) {
+  return safe_size(size, 64, 6);
+}
+
+// --- stream scanners (device-decode support) -------------------------------
+
+size_t chameleon_scan(const uint8_t* in, size_t in_size, int64_t* in_offsets,
+                      int64_t* out_offsets, uint8_t* is_copy,
+                      size_t max_blocks) {
+  return scan_stream<ChameleonTraits>(in, in_size, in_offsets, out_offsets,
+                                      is_copy, max_blocks);
+}
+size_t cheetah_scan(const uint8_t* in, size_t in_size, int64_t* in_offsets,
+                    int64_t* out_offsets, uint8_t* is_copy,
+                    size_t max_blocks) {
+  return scan_stream<CheetahTraits>(in, in_size, in_offsets, out_offsets,
+                                    is_copy, max_blocks);
+}
+size_t lion_scan(const uint8_t* in, size_t in_size, int64_t* in_offsets,
+                 int64_t* out_offsets, uint8_t* is_copy, size_t max_blocks) {
+  return scan_stream<LionTraits>(in, in_size, in_offsets, out_offsets, is_copy,
+                                 max_blocks);
+}
+
+}  // extern "C"
