@@ -19,21 +19,11 @@ TPU-native reformulation (NOT a port of the serial loop):
   token resolves to the nearest preceding PLAIN token with the same
   hash, because maps never modify the dictionary.
 
-  The only remaining serial structure is the per-block blowup
-  protection FSM (part of the wire format); it runs as a cheap scan
-  over blocks, and its interaction with the dictionary (copied blocks
-  do not update state) is resolved by a fixed-point iteration that
-  converges immediately on streams with no incompressible region.
-
-Variable-length packing runs on a u16-word lattice: every payload is
-an even number of bytes (4 or 2), so token positions are exact
-prefix-sums of word counts, and the final odd byte (ragged tail) is
-the only byte-grained fix-up, done host-side.
+  Block layout, protection-FSM fixed point, and u16-word-lattice
+  packing live in density_tpu.engine.layout (shared by all codecs).
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -42,142 +32,41 @@ import numpy as np
 from density_tpu.constants import CHAMELEON as SPEC
 from density_tpu.engine.grouping import (
     hash_quads, prev_valid_value_in_group, last_valid_value_fill)
-from density_tpu.engine.protection import replay_fsm
+from density_tpu.engine import layout
+from density_tpu.engine.layout import TokenPlan
 
 Q = SPEC.quads_per_block  # 64
 SIG_WORDS = SPEC.sig_words  # 4
 BLOCK = SPEC.block_size  # 256
-MAX_FIXED_POINT_ITERS = 8
 
 
-# ---------------------------------------------------------------------------
-# Encode
-# ---------------------------------------------------------------------------
-
-def _flags_for_copy_mask(quads, hashes, real, copy_blocks):
-    """map flags given the current copy-block hypothesis."""
+def classify(quads, hashes, real, copy_blocks):
+    """Per-quad token decisions given the copy-block hypothesis."""
     n_q = quads.shape[0]
     block_of = jnp.arange(n_q, dtype=jnp.int32) // Q
     valid = real & ~copy_blocks[block_of]
     prev_val, _ = prev_valid_value_in_group(hashes, quads, valid, fill=0)
     is_map = valid & (quads == prev_val)
-    return is_map, valid
-
-
-def _block_sizes(is_map, valid, n_bytes, n_blocks_real):
-    """Per-block hypothetical encoded byte size (signature included)."""
-    n_q = is_map.shape[0]
-    nb = n_q // Q
+    flags = is_map.astype(jnp.int32)
     payload_words = jnp.where(valid, jnp.where(is_map, 1, 2), 0)
-    per_block_words = payload_words.reshape(nb, Q).sum(axis=1)
-    ragged = n_bytes % 4
-    last_real = n_blocks_real - 1
-    bidx = jnp.arange(nb, dtype=jnp.int32)
-    enc_bytes = (SPEC.sig_bytes + 2 * per_block_words
-                 + jnp.where(bidx == last_real, ragged, 0))
-    return enc_bytes, payload_words
+    w0 = jnp.where(is_map, hashes, quads & 0xFFFF).astype(jnp.uint32)
+    w1 = (quads >> 16).astype(jnp.uint32)
+    return TokenPlan(flags, payload_words, w0, w1, valid)
 
 
-@functools.partial(jax.jit, static_argnums=())
+def sig_pack(flags_2d):
+    """1-bit flags, LSB-first -> 4 u16 words per block."""
+    nb = flags_2d.shape[0]
+    bits = flags_2d.reshape(nb, SIG_WORDS, 16).astype(jnp.uint32)
+    weights = jnp.uint32(1) << jnp.arange(16, dtype=jnp.uint32)
+    return (bits * weights).sum(axis=2)
+
+
+@jax.jit
 def _encode_core(words, n_bytes):
-    """words: uint32[(capacity_words,)] holding u16 values of the input;
-    n_bytes: actual input length. Returns (out_words, total_bytes,
-    converged, n_iters)."""
-    cap_words = words.shape[0]
-    n_q = cap_words // 2
-    nb = n_q // Q
-
-    quads = (words[0:2 * n_q:2] | (words[1:2 * n_q:2] << 16)).astype(jnp.uint32)
-    hashes = hash_quads(quads)
-    full_quads = n_bytes // 4
-    real = jnp.arange(n_q, dtype=jnp.int32) < full_quads
-    n_blocks_real = (n_bytes + BLOCK - 1) // BLOCK
-
-    def body(state):
-        copy, _, it, _ = state
-        is_map, valid = _flags_for_copy_mask(quads, hashes, real, copy)
-        enc_bytes, _ = _block_sizes(is_map, valid, n_bytes, n_blocks_real)
-        bits = enc_bytes >= BLOCK
-        new_copy = replay_fsm(bits)
-        # blocks beyond the real stream never copy (irrelevant anyway)
-        new_copy = new_copy & (jnp.arange(nb) < n_blocks_real)
-        converged = jnp.all(new_copy == copy)
-        return new_copy, converged, it + 1, is_map
-
-    def cond(state):
-        _, converged, it, _ = state
-        return (~converged) & (it < MAX_FIXED_POINT_ITERS)
-
-    init_copy = jnp.zeros(nb, dtype=bool)
-    state = body((init_copy, jnp.bool_(False), jnp.int32(0),
-                  jnp.zeros(n_q, dtype=bool)))
-    copy, converged, iters, is_map = jax.lax.while_loop(cond, body, state)
-    # final flags consistent with the converged copy mask
-    is_map, valid = _flags_for_copy_mask(quads, hashes, real, copy)
-    enc_bytes, payload_words = _block_sizes(is_map, valid, n_bytes,
-                                            n_blocks_real)
-
-    bidx = jnp.arange(nb, dtype=jnp.int32)
-    is_real_block = bidx < n_blocks_real
-    blen = jnp.clip(n_bytes - bidx * BLOCK, 0, BLOCK)  # block input length
-    out_bytes_b = jnp.where(is_real_block,
-                            jnp.where(copy, blen, enc_bytes), 0)
-    byte_off = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(out_bytes_b)[:-1]]).astype(jnp.int32)
-    total_bytes = jnp.sum(out_bytes_b).astype(jnp.int32)
-    word_off = byte_off // 2  # all blocks start even-aligned
-
-    # worst case: every quad plain -> safe_encode_buffer_size words
-    out_words = jnp.zeros(cap_words + nb * SIG_WORDS, dtype=jnp.uint32)
-
-    # --- signatures (LSB-first 1-bit flags; reference write_signature.rs)
-    flag_bits = is_map.reshape(nb, SIG_WORDS, 16).astype(jnp.uint32)
-    weights = (jnp.uint32(1) << jnp.arange(16, dtype=jnp.uint32))
-    sig_words = (flag_bits * weights).sum(axis=2)  # (nb, 4)
-    out_cap_w = out_words.shape[0]  # positive OOB sentinel (drop mode)
-    sig_idx = word_off[:, None] + jnp.arange(SIG_WORDS)[None, :]
-    sig_mask = (is_real_block & ~copy)[:, None]
-    sig_idx = jnp.where(sig_mask, sig_idx, out_cap_w)
-    out_words = out_words.at[sig_idx.reshape(-1)].set(
-        sig_words.reshape(-1), mode="drop")
-
-    # --- payloads
-    pw = payload_words.reshape(nb, Q)
-    intra = jnp.cumsum(pw, axis=1) - pw  # exclusive
-    pos = (word_off[:, None] + SIG_WORDS + intra).reshape(-1)
-    q_lo = (quads & 0xFFFF).astype(jnp.uint32)
-    q_hi = (quads >> 16).astype(jnp.uint32)
-    w0 = jnp.where(is_map, hashes, q_lo)
-    idx0 = jnp.where(valid, pos, out_cap_w)
-    out_words = out_words.at[idx0].set(w0, mode="drop")
-    idx1 = jnp.where(valid & ~is_map, pos + 1, out_cap_w)
-    out_words = out_words.at[idx1].set(q_hi, mode="drop")
-
-    # --- ragged tail of the last (non-copy) block: raw words
-    ragged = n_bytes % 4
-    last_real = n_blocks_real - 1
-    last_is_copy = copy[jnp.clip(last_real, 0, nb - 1)]
-    rag_src = full_quads * 2 + jnp.arange(2)  # word indices in input
-    rag_pos = (word_off[jnp.clip(last_real, 0, nb - 1)]
-               + (enc_bytes[jnp.clip(last_real, 0, nb - 1)] - ragged) // 2
-               + jnp.arange(2))
-    rag_valid = (~last_is_copy) & (jnp.arange(2) * 2 < ragged) & (n_blocks_real > 0)
-    rag_idx = jnp.where(rag_valid, rag_pos, out_cap_w)
-    out_words = out_words.at[rag_idx].set(
-        words[jnp.clip(rag_src, 0, cap_words - 1)], mode="drop")
-
-    # --- copy blocks: raw words of the input block
-    w_per_block = BLOCK // 2  # 128
-    j = jnp.arange(w_per_block)[None, :]
-    copy_src = bidx[:, None] * w_per_block + j
-    copy_dst = word_off[:, None] + j
-    blen_words = (blen + 1) // 2
-    copy_mask = (copy & is_real_block)[:, None] & (j < blen_words[:, None])
-    copy_idx = jnp.where(copy_mask, copy_dst, out_cap_w)
-    out_words = out_words.at[copy_idx.reshape(-1)].set(
-        words[jnp.clip(copy_src, 0, cap_words - 1)].reshape(-1), mode="drop")
-
-    return out_words, total_bytes, converged, iters
+    return layout.encode_stream(words, n_bytes, Q=Q, SIG_WORDS=SIG_WORDS,
+                                BLOCK=BLOCK, classify=classify,
+                                sig_pack=sig_pack)
 
 
 def encode(data: bytes | np.ndarray) -> bytes:
@@ -187,7 +76,7 @@ def encode(data: bytes | np.ndarray) -> bytes:
     n = buf.size
     if n == 0:
         return b""
-    cap_bytes = _bucket_bytes(n)
+    cap_bytes = layout.bucket_bytes(n, BLOCK)
     padded = np.zeros(cap_bytes, dtype=np.uint8)
     padded[:n] = buf
     words = padded.view("<u2").astype(np.uint32)
@@ -195,32 +84,17 @@ def encode(data: bytes | np.ndarray) -> bytes:
         jnp.asarray(words), jnp.int32(n))
     if not bool(converged):  # pathological stream: exact native fallback
         from density_tpu import native
-        return native.encode("chameleon", bytes(buf.tobytes()))
+        return native.encode("chameleon", buf.tobytes())
     total = int(total)
     out = np.asarray(out_words[: (total + 1) // 2]).astype("<u2").tobytes()
     return out[:total]
-
-
-def _bucket_bytes(n: int) -> int:
-    """Round capacity up to a coarse bucket (bounded jit cache, <=12.5%
-    padding): next multiple of pow2/8, min one block."""
-    n = max(n, BLOCK)
-    n = -(-n // BLOCK) * BLOCK
-    p = 1 << (n - 1).bit_length()
-    step = max(p // 8, BLOCK)
-    return -(-n // step) * step
-
-
-def _bucket_blocks(nb: int) -> int:
-    """Bucket a block count the same way (bounded jit cache)."""
-    return _bucket_bytes(nb * BLOCK) // BLOCK
 
 
 # ---------------------------------------------------------------------------
 # Decode
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnums=())
+@jax.jit
 def _decode_core(words, in_word_off, is_copy, n_blocks_real, out_len):
     """words: uint32[cap] u16 values of the compressed stream.
     in_word_off/is_copy: per-block metadata (padded to fixed nb).
@@ -290,11 +164,10 @@ def decode(data: bytes, decoded_size_hint: int | None = None) -> bytes:
     from density_tpu import native
     in_off, out_off, is_copy = native.scan("chameleon", data)
     nb = len(in_off)
-    # decoded length: last block's output span
     out_len = _scan_out_len(data, in_off, out_off, is_copy, nb)
 
-    nb_cap = _bucket_blocks(nb)
-    cap_bytes = _bucket_bytes(len(data) + 2)
+    nb_cap = layout.bucket_bytes(nb * BLOCK, BLOCK) // BLOCK
+    cap_bytes = layout.bucket_bytes(len(data) + 2, BLOCK)
     padded = np.zeros(cap_bytes, dtype=np.uint8)
     padded[:len(data)] = np.frombuffer(data, dtype=np.uint8)
     words = padded.view("<u2").astype(np.uint32)
@@ -322,9 +195,6 @@ def _scan_out_len(data, in_off, out_off, is_copy, nb) -> int:
     if is_copy[-1]:
         last_out = last_in if last_in <= BLOCK else BLOCK
     else:
-        # signature + payload tokens: recompute from the scan step
-        # (the scanner consumed it; out length = consumed payload
-        # decoded size). Simplest exact rule: re-derive from token walk.
         last_out = _last_block_out_len(data[int(in_off[-1]):])
     return int(out_off[-1]) + last_out
 

@@ -1,0 +1,294 @@
+"""Cheetah codec -- TPU-native encode (fully parallel) and decode.
+
+Wire format (reference: cheetah.rs:42-203): 128-byte blocks, 32
+quads/block, 2-bit flags in a 64-bit LSB-first signature, dual
+MRU-swapped dictionary (chunk_a/chunk_b) plus one prediction slot
+keyed by the *previous* quad's hash.
+
+TPU-native reformulation of the encoder (NOT a port):
+
+  * Prediction. prediction_map[H] is rewritten at EVERY quad whose
+    context (= hash of the previous encoded quad) is H -- a predicted
+    hit leaves the identical value (reference: cheetah.rs:125-148). So
+    at position i, prediction_map[ctx_i] == quad of the latest
+    preceding position with the same context. Hence
+
+        predicted_i <=> quad_{prev_ctx(i)} == quad_i
+
+    -- the same sort-adjacency reformulation as chameleon's
+    dictionary, over *context-hash groups* instead of hash groups.
+
+  * Dictionary. chunk_a/chunk_b form a 2-deep move-to-front list per
+    hash, updated only at NON-predicted quads. Closed form within a
+    hash group (over non-predicted quads):
+        chunk_a = previous value;
+        chunk_b = value immediately before the run of equal previous
+                  values (= most recent value != chunk_a);
+    so mapA/mapB/plain are two gathers after one stable sort
+    (density_tpu.engine.grouping.mru2_state_in_group).
+
+  The decoder's chain (a predicted token's value and hence the next
+  context depends on resolving the previous token) is inherently
+  sequential per stream; it runs as a lax.scan with the dictionary
+  tables as carry, vectorized across streams by the container layer.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from density_tpu.constants import CHEETAH as SPEC
+from density_tpu.engine.grouping import (
+    hash_quads, prev_valid_value_in_group, mru2_state_in_group)
+from density_tpu.engine import layout
+from density_tpu.engine.layout import TokenPlan
+
+Q = SPEC.quads_per_block  # 32
+SIG_WORDS = SPEC.sig_words  # 4
+BLOCK = SPEC.block_size  # 128
+
+FLAG_PLAIN, FLAG_MAP_A, FLAG_MAP_B, FLAG_PRED = 0, 1, 2, 3
+
+
+def _contexts(hashes, valid):
+    """ctx_i = hash of the latest valid quad before i (0 if none) --
+    the `last_hash` chain (reference: cheetah.rs:148), which skips
+    copy-block quads because encode_quad is never called for them."""
+    n = hashes.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    lv_incl = jax.lax.cummax(jnp.where(valid, idx, -1))
+    lv = jnp.where(idx > 0, jnp.roll(lv_incl, 1), -1)
+    lv = lv.at[0].set(-1)
+    return jnp.where(lv >= 0, hashes[jnp.maximum(lv, 0)], 0).astype(jnp.uint32)
+
+
+def classify(quads, hashes, real, copy_blocks):
+    n_q = quads.shape[0]
+    block_of = jnp.arange(n_q, dtype=jnp.int32) // Q
+    valid = real & ~copy_blocks[block_of]
+
+    ctx = _contexts(hashes, valid)
+    pred_val, _ = prev_valid_value_in_group(ctx, quads, valid, fill=0)
+    predicted = valid & (quads == pred_val)
+
+    dict_valid = valid & ~predicted
+    front, second = mru2_state_in_group(hashes, quads, dict_valid)
+    map_a = dict_valid & (quads == front)
+    map_b = dict_valid & ~map_a & (quads == second)
+    plain = dict_valid & ~map_a & ~map_b
+
+    flags = jnp.where(predicted, FLAG_PRED,
+                      jnp.where(map_a, FLAG_MAP_A,
+                                jnp.where(map_b, FLAG_MAP_B, FLAG_PLAIN)))
+    payload_words = jnp.where(valid,
+                              jnp.where(predicted, 0,
+                                        jnp.where(plain, 2, 1)), 0)
+    w0 = jnp.where(plain, quads & 0xFFFF, hashes).astype(jnp.uint32)
+    w1 = (quads >> 16).astype(jnp.uint32)
+    return TokenPlan(flags.astype(jnp.int32), payload_words, w0, w1, valid)
+
+
+def sig_pack(flags_2d):
+    """2-bit flags, LSB-first -> 4 u16 words per block (8 flags/word)."""
+    nb = flags_2d.shape[0]
+    f = flags_2d.reshape(nb, SIG_WORDS, 8).astype(jnp.uint32)
+    shifts = (2 * jnp.arange(8, dtype=jnp.uint32))
+    return (f << shifts).sum(axis=2)
+
+
+@jax.jit
+def _encode_core(words, n_bytes):
+    return layout.encode_stream(words, n_bytes, Q=Q, SIG_WORDS=SIG_WORDS,
+                                BLOCK=BLOCK, classify=classify,
+                                sig_pack=sig_pack)
+
+
+def encode(data: bytes | np.ndarray) -> bytes:
+    buf = np.frombuffer(bytes(data), dtype=np.uint8) if isinstance(
+        data, (bytes, bytearray)) else np.asarray(data, dtype=np.uint8)
+    n = buf.size
+    if n == 0:
+        return b""
+    cap_bytes = layout.bucket_bytes(n, BLOCK)
+    padded = np.zeros(cap_bytes, dtype=np.uint8)
+    padded[:n] = buf
+    words = padded.view("<u2").astype(np.uint32)
+    out_words, total, converged, _ = _encode_core(
+        jnp.asarray(words), jnp.int32(n))
+    if not bool(converged):
+        from density_tpu import native
+        return native.encode("cheetah", buf.tobytes())
+    total = int(total)
+    out = np.asarray(out_words[: (total + 1) // 2]).astype("<u2").tobytes()
+    return out[:total]
+
+
+# ---------------------------------------------------------------------------
+# Decode: token extraction is parallel; value resolution is a scan with
+# the dictionary tables as carry (the per-quad chain is inherent: the
+# context of token i+1 is the hash of token i's resolved value).
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _extract_tokens(words, in_word_off, is_copy, n_blocks_real, out_len):
+    """Parallel part of decode: per-quad (flag, w0, w1, valid)."""
+    nb = in_word_off.shape[0]
+    n_q = nb * Q
+    cap = words.shape[0]
+    bidx = jnp.arange(nb, dtype=jnp.int32)
+    is_real_block = bidx < n_blocks_real
+
+    sig_idx = in_word_off[:, None] + jnp.arange(SIG_WORDS)[None, :]
+    sig_w = words[jnp.clip(sig_idx, 0, cap - 1)]
+    qq = jnp.arange(Q)
+    wsel = sig_w[:, qq // 8]
+    flags = (wsel >> (2 * (qq % 8)).astype(jnp.uint32)[None, :]) & 3
+    flags = flags.reshape(-1).astype(jnp.int32)
+
+    full_quads = out_len // 4
+    kidx = jnp.arange(n_q, dtype=jnp.int32)
+    block_of = kidx // Q
+    real = kidx < full_quads
+    valid = real & ~is_copy[block_of] & is_real_block[block_of]
+    flags = jnp.where(valid, flags, FLAG_PRED)  # no-payload for invalid
+
+    payload_words = jnp.where(valid,
+                              jnp.where(flags == FLAG_PLAIN, 2,
+                                        jnp.where(flags == FLAG_PRED, 0, 1)),
+                              0)
+    pw = payload_words.reshape(nb, Q)
+    intra = jnp.cumsum(pw, axis=1) - pw
+    pos = (in_word_off[:, None] + SIG_WORDS + intra).reshape(-1)
+    w0 = words[jnp.clip(pos, 0, cap - 1)]
+    w1 = words[jnp.clip(pos + 1, 0, cap - 1)]
+    return flags, w0, w1, valid
+
+
+@jax.jit
+def _resolve_scan(flags, w0, w1, valid):
+    """Serial value resolution (state tables as scan carry)."""
+    n_q = flags.shape[0]
+    tbl = 1 << 16
+
+    def step(state, xs):
+        a, b, p, lh = state
+        flag, w0i, w1i, v = xs
+        plain_quad = (w0i | (w1i << 16)).astype(jnp.uint32)
+        pred_q = p[lh]
+        h_map = w0i.astype(jnp.int32)
+        h = jnp.where(flag == FLAG_PRED, hash_quads(pred_q[None])[0],
+                      jnp.where(flag == FLAG_PLAIN,
+                                hash_quads(plain_quad[None])[0],
+                                w0i)).astype(jnp.int32)
+        a_h = a[h]
+        b_h = b[h]
+        quad = jnp.where(flag == FLAG_PLAIN, plain_quad,
+                         jnp.where(flag == FLAG_MAP_A, a_h,
+                                   jnp.where(flag == FLAG_MAP_B, b_h,
+                                             pred_q)))
+        mru = (flag == FLAG_PLAIN) | (flag == FLAG_MAP_B)
+        new_a = jnp.where(mru, quad, a_h)
+        new_b = jnp.where(mru, a_h, b_h)
+        a = a.at[h].set(jnp.where(v, new_a, a_h))
+        b = b.at[h].set(jnp.where(v, new_b, b_h))
+        p = p.at[lh].set(jnp.where(v, quad, p[lh]))
+        lh = jnp.where(v, h, lh)
+        return (a, b, p, lh), quad
+
+    init = (jnp.zeros(tbl, jnp.uint32), jnp.zeros(tbl, jnp.uint32),
+            jnp.zeros(tbl, jnp.uint32), jnp.int32(0))
+    _, quads = jax.lax.scan(step, init, (flags, w0, w1, valid))
+    return quads
+
+
+@jax.jit
+def _assemble(quads, valid, words, in_word_off, is_copy, n_blocks_real,
+              out_len):
+    nb = in_word_off.shape[0]
+    n_q = nb * Q
+    cap = words.shape[0]
+    bidx = jnp.arange(nb, dtype=jnp.int32)
+    is_real_block = bidx < n_blocks_real
+    kidx = jnp.arange(n_q, dtype=jnp.int32)
+
+    out_cap = nb * (BLOCK // 2)
+    out_words = jnp.zeros(out_cap, dtype=jnp.uint32)
+    oidx0 = jnp.where(valid, 2 * kidx, out_cap)
+    out_words = out_words.at[oidx0].set(quads & 0xFFFF, mode="drop")
+    oidx1 = jnp.where(valid, 2 * kidx + 1, out_cap)
+    out_words = out_words.at[oidx1].set(quads >> 16, mode="drop")
+
+    w_per_block = BLOCK // 2
+    j = jnp.arange(w_per_block)[None, :]
+    blen = jnp.clip(out_len - bidx * BLOCK, 0, BLOCK)
+    blen_words = (blen + 1) // 2
+    src = in_word_off[:, None] + j
+    dst = bidx[:, None] * w_per_block + j
+    cmask = (is_copy & is_real_block)[:, None] & (j < blen_words[:, None])
+    cidx = jnp.where(cmask, dst, out_cap)
+    out_words = out_words.at[cidx.reshape(-1)].set(
+        words[jnp.clip(src, 0, cap - 1)].reshape(-1), mode="drop")
+    return out_words
+
+
+def decode(data: bytes, decoded_size_hint: int | None = None) -> bytes:
+    if len(data) == 0:
+        return b""
+    from density_tpu import native
+    in_off, out_off, is_copy = native.scan("cheetah", data)
+    nb = len(in_off)
+    out_len = int(out_off[-1]) + _last_block_out_len(
+        data, int(in_off[-1]), bool(is_copy[-1]))
+
+    nb_cap = layout.bucket_bytes(nb * BLOCK, BLOCK) // BLOCK
+    cap_bytes = layout.bucket_bytes(len(data) + 2, BLOCK)
+    padded = np.zeros(cap_bytes, dtype=np.uint8)
+    padded[:len(data)] = np.frombuffer(data, dtype=np.uint8)
+    words = padded.view("<u2").astype(np.uint32)
+
+    in_word_off = np.zeros(nb_cap, dtype=np.int32)
+    in_word_off[:nb] = in_off // 2
+    copy_pad = np.zeros(nb_cap, dtype=bool)
+    copy_pad[:nb] = is_copy.astype(bool)
+
+    jw = jnp.asarray(words)
+    jo = jnp.asarray(in_word_off)
+    jc = jnp.asarray(copy_pad)
+    flags, w0, w1, valid = _extract_tokens(jw, jo, jc, jnp.int32(nb),
+                                           jnp.int32(out_len))
+    quads = _resolve_scan(flags, w0, w1, valid)
+    out_words = _assemble(quads, valid, jw, jo, jc, jnp.int32(nb),
+                          jnp.int32(out_len))
+    out = np.asarray(out_words[: (out_len + 1) // 2]).astype("<u2").tobytes()
+    out = bytearray(out[:out_len])
+    ragged = out_len % 4
+    if ragged and not is_copy[-1]:
+        out[-ragged:] = data[-ragged:]
+    return bytes(out)
+
+
+def _last_block_out_len(data: bytes, last_off: int, last_copy: bool) -> int:
+    """Decoded length of the final block (host-side token walk)."""
+    if last_copy:
+        rem = len(data) - last_off
+        return rem if rem <= BLOCK else BLOCK
+    block = data[last_off:]
+    sig = int.from_bytes(block[:8].ljust(8, b"\x00"), "little")
+    pos = 8
+    out = 0
+    for _ in range(Q):
+        flag = sig & 3
+        sig >>= 2
+        if flag == FLAG_PLAIN:
+            rem = len(block) - pos
+            if rem == 0:
+                return out
+            if rem <= 3:
+                return out + rem
+            pos += 4
+        elif flag in (FLAG_MAP_A, FLAG_MAP_B):
+            pos += 2
+        out += 4
+    return out

@@ -1,0 +1,316 @@
+"""Lion codec -- TPU-native encode (fully parallel) and decode.
+
+Wire format (reference: lion.rs:59-352): 64-byte blocks, 16
+quads/block, 3-bit flags in a 48-bit LSB-first signature (only 6 of 8
+signature bytes written, lion.rs:334-351), dual MRU dictionary plus a
+5-deep prediction queue keyed by the previous quad's hash.
+
+TPU-native reformulation of the encoder (NOT a port):
+
+  * Prediction queue. The 5-slot queue prediction_map[H] is a
+    move-to-front list over the quads arriving in context H (hits
+    promote, misses shift-insert; reference lion.rs:50-57, 211-270).
+    MTF state composes associatively (see engine/mtf.py), so the
+    predicted depth of every quad -- PREDICTED_A..E = depth 0..4 --
+    comes from one segmented associative scan over context groups.
+    Zero-initialized queues are modelled exactly by the zero-padding
+    rule proved in engine/mtf.py.
+
+  * Dictionary. Same MRU-2 closed form as cheetah, over non-predicted
+    quads only (predicted quads never touch chunk_map;
+    reference lion.rs:216-231).
+
+  Flag priority (semantic, reference lion.rs:211-270):
+  next_a > next_b > next_c > next_d > next_e > chunk_a > chunk_b >
+  plain -- preserved here because prediction depths are checked first
+  and the dictionary classification only applies to prediction misses.
+
+  Decode runs the inherently-serial chain as a lax.scan with the
+  tables as carry (see cheetah.py for why), vectorized across streams
+  by the container layer.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from density_tpu.constants import LION as SPEC
+from density_tpu.engine.grouping import hash_quads, mru2_state_in_group
+from density_tpu.engine.mtf import mtf_depths_in_group
+from density_tpu.engine import layout
+from density_tpu.engine.layout import TokenPlan
+
+Q = SPEC.quads_per_block  # 16
+SIG_WORDS = SPEC.sig_words  # 3
+BLOCK = SPEC.block_size  # 64
+
+FLAG_PLAIN = 0
+FLAG_PRED_A = 1  # .. FLAG_PRED_E = 5
+FLAG_MAP_A = 6
+FLAG_MAP_B = 7
+K = 5
+
+
+def _contexts(hashes, valid):
+    """last_hash chain: hash of latest valid quad before i, 0 if none
+    (reference: lion.rs:269, 286)."""
+    n = hashes.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    lv_incl = jax.lax.cummax(jnp.where(valid, idx, -1))
+    lv = jnp.where(idx > 0, jnp.roll(lv_incl, 1), -1)
+    lv = lv.at[0].set(-1)
+    return jnp.where(lv >= 0, hashes[jnp.maximum(lv, 0)], 0).astype(jnp.uint32)
+
+
+def classify(quads, hashes, real, copy_blocks):
+    n_q = quads.shape[0]
+    block_of = jnp.arange(n_q, dtype=jnp.int32) // Q
+    valid = real & ~copy_blocks[block_of]
+
+    ctx = _contexts(hashes, valid)
+    depth = mtf_depths_in_group(ctx, quads, valid, K)  # 0..5 (5 = miss)
+    predicted = valid & (depth < K)
+
+    dict_valid = valid & ~predicted
+    front, second = mru2_state_in_group(hashes, quads, dict_valid)
+    map_a = dict_valid & (quads == front)
+    map_b = dict_valid & ~map_a & (quads == second)
+    plain = dict_valid & ~map_a & ~map_b
+
+    flags = jnp.where(predicted, depth + 1,
+                      jnp.where(map_a, FLAG_MAP_A,
+                                jnp.where(map_b, FLAG_MAP_B, FLAG_PLAIN)))
+    payload_words = jnp.where(valid,
+                              jnp.where(predicted, 0,
+                                        jnp.where(plain, 2, 1)), 0)
+    w0 = jnp.where(plain, quads & 0xFFFF, hashes).astype(jnp.uint32)
+    w1 = (quads >> 16).astype(jnp.uint32)
+    return TokenPlan(flags.astype(jnp.int32), payload_words, w0, w1, valid)
+
+
+def sig_pack(flags_2d):
+    """3-bit flags x 16 quads = 48 bits -> 3 u16 words, LSB-first.
+    Two-limb u32 arithmetic (bit 30..32 of flag 10 crosses the limb)."""
+    f = flags_2d.astype(jnp.uint32)  # (nb, 16)
+    limb0 = jnp.zeros(f.shape[0], dtype=jnp.uint32)
+    limb1 = jnp.zeros(f.shape[0], dtype=jnp.uint32)
+    for q in range(11):  # shifts 0..30; uint32 wrap == masked low part
+        limb0 = limb0 | (f[:, q] << (3 * q))
+    limb1 = limb1 | (f[:, 10] >> 2)
+    for q in range(11, 16):  # shifts 33..45 -> limb1 bits 1..15
+        limb1 = limb1 | (f[:, q] << (3 * q - 32))
+    w0 = limb0 & 0xFFFF
+    w1 = limb0 >> 16
+    w2 = limb1 & 0xFFFF
+    return jnp.stack([w0, w1, w2], axis=1)
+
+
+def sig_unpack(sig_w):
+    """(nb, 3) u16 words -> (nb, 16) 3-bit flags."""
+    limb0 = sig_w[:, 0] | (sig_w[:, 1] << 16)  # bits 0..31
+    limb1 = sig_w[:, 2]  # bits 32..47
+    flags = []
+    for q in range(16):
+        s = 3 * q
+        if s + 3 <= 32:
+            v = (limb0 >> s) & 7
+        elif s < 32:  # q == 10: bits 30,31 + limb1 bit 0
+            v = ((limb0 >> 30) | (limb1 << 2)) & 7
+        else:
+            v = (limb1 >> (s - 32)) & 7
+        flags.append(v)
+    return jnp.stack(flags, axis=1).astype(jnp.int32)
+
+
+@jax.jit
+def _encode_core(words, n_bytes):
+    return layout.encode_stream(words, n_bytes, Q=Q, SIG_WORDS=SIG_WORDS,
+                                BLOCK=BLOCK, classify=classify,
+                                sig_pack=sig_pack)
+
+
+def encode(data: bytes | np.ndarray) -> bytes:
+    buf = np.frombuffer(bytes(data), dtype=np.uint8) if isinstance(
+        data, (bytes, bytearray)) else np.asarray(data, dtype=np.uint8)
+    n = buf.size
+    if n == 0:
+        return b""
+    cap_bytes = layout.bucket_bytes(n, BLOCK)
+    padded = np.zeros(cap_bytes, dtype=np.uint8)
+    padded[:n] = buf
+    words = padded.view("<u2").astype(np.uint32)
+    out_words, total, converged, _ = _encode_core(
+        jnp.asarray(words), jnp.int32(n))
+    if not bool(converged):
+        from density_tpu import native
+        return native.encode("lion", buf.tobytes())
+    total = int(total)
+    out = np.asarray(out_words[: (total + 1) // 2]).astype("<u2").tobytes()
+    return out[:total]
+
+
+# ---------------------------------------------------------------------------
+# Decode
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _extract_tokens(words, in_word_off, is_copy, n_blocks_real, out_len):
+    nb = in_word_off.shape[0]
+    n_q = nb * Q
+    cap = words.shape[0]
+    bidx = jnp.arange(nb, dtype=jnp.int32)
+    is_real_block = bidx < n_blocks_real
+
+    sig_idx = in_word_off[:, None] + jnp.arange(SIG_WORDS)[None, :]
+    sig_w = words[jnp.clip(sig_idx, 0, cap - 1)]
+    flags = sig_unpack(sig_w).reshape(-1)
+
+    full_quads = out_len // 4
+    kidx = jnp.arange(n_q, dtype=jnp.int32)
+    block_of = kidx // Q
+    real = kidx < full_quads
+    valid = real & ~is_copy[block_of] & is_real_block[block_of]
+    flags = jnp.where(valid, flags, FLAG_PRED_A)  # no-payload for invalid
+
+    payload_words = jnp.where(valid,
+                              jnp.where(flags == FLAG_PLAIN, 2,
+                                        jnp.where(flags >= FLAG_MAP_A, 1, 0)),
+                              0)
+    pw = payload_words.reshape(nb, Q)
+    intra = jnp.cumsum(pw, axis=1) - pw
+    pos = (in_word_off[:, None] + SIG_WORDS + intra).reshape(-1)
+    w0 = words[jnp.clip(pos, 0, cap - 1)]
+    w1 = words[jnp.clip(pos + 1, 0, cap - 1)]
+    return flags, w0, w1, valid
+
+
+@jax.jit
+def _resolve_scan(flags, w0, w1, valid):
+    tbl = 1 << 16
+    slots = jnp.arange(K, dtype=jnp.int32)
+
+    def step(state, xs):
+        a, b, p5, lh = state
+        flag, w0i, w1i, v = xs
+        plain_quad = (w0i | (w1i << 16)).astype(jnp.uint32)
+        prow = p5[lh]  # (5,)
+        is_pred = (flag >= FLAG_PRED_A) & (flag <= K)
+        depth = jnp.clip(flag - 1, 0, K - 1)
+        pred_q = prow[depth]
+        h = jnp.where(flag == FLAG_PLAIN, hash_quads(plain_quad[None])[0],
+                      jnp.where(is_pred, hash_quads(pred_q[None])[0],
+                                w0i)).astype(jnp.int32)
+        a_h = a[h]
+        b_h = b[h]
+        quad = jnp.where(flag == FLAG_PLAIN, plain_quad,
+                         jnp.where(flag == FLAG_MAP_A, a_h,
+                                   jnp.where(flag == FLAG_MAP_B, b_h,
+                                             pred_q)))
+        mru = (flag == FLAG_PLAIN) | (flag == FLAG_MAP_B)
+        a = a.at[h].set(jnp.where(v & mru, quad, a_h))
+        b = b.at[h].set(jnp.where(v & mru, a_h, b_h))
+        # prediction row update: promote at depth d (d=5 for misses)
+        d_u = jnp.where(is_pred, depth, K)
+        new_row = jnp.where(slots == 0, quad,
+                            jnp.where(slots <= d_u,
+                                      prow[jnp.maximum(slots - 1, 0)], prow))
+        p5 = p5.at[lh].set(jnp.where(v, new_row, prow))
+        lh = jnp.where(v, h, lh)
+        return (a, b, p5, lh), quad
+
+    init = (jnp.zeros(tbl, jnp.uint32), jnp.zeros(tbl, jnp.uint32),
+            jnp.zeros((tbl, K), jnp.uint32), jnp.int32(0))
+    _, quads = jax.lax.scan(step, init, (flags, w0, w1, valid))
+    return quads
+
+
+@jax.jit
+def _assemble(quads, valid, words, in_word_off, is_copy, n_blocks_real,
+              out_len):
+    nb = in_word_off.shape[0]
+    n_q = nb * Q
+    cap = words.shape[0]
+    bidx = jnp.arange(nb, dtype=jnp.int32)
+    is_real_block = bidx < n_blocks_real
+    kidx = jnp.arange(n_q, dtype=jnp.int32)
+
+    out_cap = nb * (BLOCK // 2)
+    out_words = jnp.zeros(out_cap, dtype=jnp.uint32)
+    oidx0 = jnp.where(valid, 2 * kidx, out_cap)
+    out_words = out_words.at[oidx0].set(quads & 0xFFFF, mode="drop")
+    oidx1 = jnp.where(valid, 2 * kidx + 1, out_cap)
+    out_words = out_words.at[oidx1].set(quads >> 16, mode="drop")
+
+    w_per_block = BLOCK // 2
+    j = jnp.arange(w_per_block)[None, :]
+    blen = jnp.clip(out_len - bidx * BLOCK, 0, BLOCK)
+    blen_words = (blen + 1) // 2
+    src = in_word_off[:, None] + j
+    dst = bidx[:, None] * w_per_block + j
+    cmask = (is_copy & is_real_block)[:, None] & (j < blen_words[:, None])
+    cidx = jnp.where(cmask, dst, out_cap)
+    out_words = out_words.at[cidx.reshape(-1)].set(
+        words[jnp.clip(src, 0, cap - 1)].reshape(-1), mode="drop")
+    return out_words
+
+
+def decode(data: bytes, decoded_size_hint: int | None = None) -> bytes:
+    if len(data) == 0:
+        return b""
+    from density_tpu import native
+    in_off, out_off, is_copy = native.scan("lion", data)
+    nb = len(in_off)
+    out_len = int(out_off[-1]) + _last_block_out_len(
+        data, int(in_off[-1]), bool(is_copy[-1]))
+
+    nb_cap = layout.bucket_bytes(nb * BLOCK, BLOCK) // BLOCK
+    cap_bytes = layout.bucket_bytes(len(data) + 2, BLOCK)
+    padded = np.zeros(cap_bytes, dtype=np.uint8)
+    padded[:len(data)] = np.frombuffer(data, dtype=np.uint8)
+    words = padded.view("<u2").astype(np.uint32)
+
+    in_word_off = np.zeros(nb_cap, dtype=np.int32)
+    in_word_off[:nb] = in_off // 2
+    copy_pad = np.zeros(nb_cap, dtype=bool)
+    copy_pad[:nb] = is_copy.astype(bool)
+
+    jw = jnp.asarray(words)
+    jo = jnp.asarray(in_word_off)
+    jc = jnp.asarray(copy_pad)
+    flags, w0, w1, valid = _extract_tokens(jw, jo, jc, jnp.int32(nb),
+                                           jnp.int32(out_len))
+    quads = _resolve_scan(flags, w0, w1, valid)
+    out_words = _assemble(quads, valid, jw, jo, jc, jnp.int32(nb),
+                          jnp.int32(out_len))
+    out = np.asarray(out_words[: (out_len + 1) // 2]).astype("<u2").tobytes()
+    out = bytearray(out[:out_len])
+    ragged = out_len % 4
+    if ragged and not is_copy[-1]:
+        out[-ragged:] = data[-ragged:]
+    return bytes(out)
+
+
+def _last_block_out_len(data: bytes, last_off: int, last_copy: bool) -> int:
+    if last_copy:
+        rem = len(data) - last_off
+        return rem if rem <= BLOCK else BLOCK
+    block = data[last_off:]
+    sig = int.from_bytes(block[:6].ljust(6, b"\x00"), "little")
+    pos = 6
+    out = 0
+    for _ in range(Q):
+        flag = sig & 7
+        sig >>= 3
+        if flag == FLAG_PLAIN:
+            rem = len(block) - pos
+            if rem == 0:
+                return out
+            if rem <= 3:
+                return out + rem
+            pos += 4
+        elif flag >= FLAG_MAP_A:
+            pos += 2
+        out += 4
+    return out

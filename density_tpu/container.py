@@ -1,0 +1,89 @@
+"""Framed multi-stream container (the "TPU tier").
+
+The reference is a bare stream with no framing (SURVEY.md §7): one
+call, one dictionary, strictly sequential. To shard across TPU cores
+and hosts, this container chops the input into S independent streams;
+each stream is compressed *exactly* as a bare density stream with
+fresh state (tier-1 bit-compatibility per stream), and a small header
+records the geometry:
+
+    magic    "DTPU"            4 bytes
+    version  u8 = 1
+    codec_id u8 (0 chameleon / 1 cheetah / 2 lion)
+    reserved u16
+    original_len u64 LE
+    stream_size  u32 LE        (bytes per stream; last may be short)
+    n_streams    u32 LE
+    lengths      u32 LE * n_streams (compressed bytes per stream)
+    payload: concatenated bare streams, in order
+
+Every stream is independently decodable and restartable, which is what
+makes multi-chip encode embarrassingly parallel and decode
+block-parallel (SURVEY.md §5 "checkpoint/resume" and §2b).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from density_tpu.constants import SPECS
+from density_tpu.errors import DecodeError, EncodeError
+
+MAGIC = b"DTPU"
+VERSION = 1
+CODEC_IDS = {"chameleon": 0, "cheetah": 1, "lion": 2}
+CODEC_NAMES = {v: k for k, v in CODEC_IDS.items()}
+DEFAULT_STREAM_SIZE = 1 << 20  # 1 MiB
+
+_HDR = struct.Struct("<4sBBHQII")
+
+
+def build_header(codec: str, original_len: int, stream_size: int,
+                 lengths: list[int]) -> bytes:
+    head = _HDR.pack(MAGIC, VERSION, CODEC_IDS[codec], 0,
+                     original_len, stream_size, len(lengths))
+    return head + np.asarray(lengths, dtype="<u4").tobytes()
+
+
+def parse_header(data: bytes):
+    """Returns (codec, original_len, stream_size, lengths, payload_off)."""
+    if len(data) < _HDR.size:
+        raise DecodeError("container too short")
+    magic, version, codec_id, _, original_len, stream_size, n_streams = (
+        _HDR.unpack_from(data, 0))
+    if magic != MAGIC:
+        raise DecodeError("bad magic")
+    if version != VERSION:
+        raise DecodeError(f"unsupported container version {version}")
+    if codec_id not in CODEC_NAMES:
+        raise DecodeError(f"unknown codec id {codec_id}")
+    off = _HDR.size
+    end = off + 4 * n_streams
+    if len(data) < end:
+        raise DecodeError("truncated stream table")
+    lengths = np.frombuffer(data[off:end], dtype="<u4").astype(np.int64)
+    return CODEC_NAMES[codec_id], original_len, stream_size, lengths, end
+
+
+def split_streams(n: int, stream_size: int) -> int:
+    if stream_size <= 0:
+        raise EncodeError("stream_size must be positive")
+    return max(1, -(-n // stream_size))
+
+
+def compress(data: bytes, codec: str = "chameleon",
+             stream_size: int = DEFAULT_STREAM_SIZE, mesh=None) -> bytes:
+    """Compress into a framed container, sharding streams over the
+    current device set (or an explicit jax Mesh)."""
+    if codec not in SPECS:
+        raise EncodeError(f"unknown codec {codec!r}")
+    from density_tpu.parallel import sharding
+    return sharding.compress(data, codec, stream_size, mesh)
+
+
+def decompress(data: bytes, mesh=None) -> bytes:
+    """Decompress a framed container."""
+    from density_tpu.parallel import sharding
+    return sharding.decompress(data, mesh)
