@@ -11,7 +11,7 @@ import os
 # Persistent compilation cache: the codec kernels are compiled per
 # shape-bucket; cache them across processes.
 _cache_dir = os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR", "/tmp/density_tpu_jax_cache")
+    "JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 import jax  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
