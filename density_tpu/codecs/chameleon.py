@@ -62,32 +62,13 @@ def sig_pack(flags_2d):
     return (bits * weights).sum(axis=2)
 
 
-@jax.jit
-def _encode_core(words, n_bytes):
-    return layout.encode_stream(words, n_bytes, Q=Q, SIG_WORDS=SIG_WORDS,
-                                BLOCK=BLOCK, classify=classify,
-                                sig_pack=sig_pack)
+PIPELINE = layout.build_pipeline(Q=Q, SIG_WORDS=SIG_WORDS, BLOCK=BLOCK,
+                                 classify=classify, sig_pack=sig_pack)
 
 
 def encode(data: bytes | np.ndarray) -> bytes:
     """One-shot single-stream encode; density-compatible bytes."""
-    buf = np.frombuffer(bytes(data), dtype=np.uint8) if isinstance(
-        data, (bytes, bytearray)) else np.asarray(data, dtype=np.uint8)
-    n = buf.size
-    if n == 0:
-        return b""
-    cap_bytes = layout.bucket_bytes(n, BLOCK)
-    padded = np.zeros(cap_bytes, dtype=np.uint8)
-    padded[:n] = buf
-    words = padded.view("<u2").astype(np.uint32)
-    out_words, total, converged, _ = _encode_core(
-        jnp.asarray(words), jnp.int32(n))
-    if not bool(converged):  # pathological stream: exact native fallback
-        from density_tpu import native
-        return native.encode("chameleon", buf.tobytes())
-    total = int(total)
-    out = np.asarray(out_words[: (total + 1) // 2]).astype("<u2").tobytes()
-    return out[:total]
+    return layout.encode_oneshot(PIPELINE, "chameleon", data)
 
 
 # ---------------------------------------------------------------------------

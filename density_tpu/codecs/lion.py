@@ -124,31 +124,12 @@ def sig_unpack(sig_w):
     return jnp.stack(flags, axis=1).astype(jnp.int32)
 
 
-@jax.jit
-def _encode_core(words, n_bytes):
-    return layout.encode_stream(words, n_bytes, Q=Q, SIG_WORDS=SIG_WORDS,
-                                BLOCK=BLOCK, classify=classify,
-                                sig_pack=sig_pack)
+PIPELINE = layout.build_pipeline(Q=Q, SIG_WORDS=SIG_WORDS, BLOCK=BLOCK,
+                                 classify=classify, sig_pack=sig_pack)
 
 
 def encode(data: bytes | np.ndarray) -> bytes:
-    buf = np.frombuffer(bytes(data), dtype=np.uint8) if isinstance(
-        data, (bytes, bytearray)) else np.asarray(data, dtype=np.uint8)
-    n = buf.size
-    if n == 0:
-        return b""
-    cap_bytes = layout.bucket_bytes(n, BLOCK)
-    padded = np.zeros(cap_bytes, dtype=np.uint8)
-    padded[:n] = buf
-    words = padded.view("<u2").astype(np.uint32)
-    out_words, total, converged, _ = _encode_core(
-        jnp.asarray(words), jnp.int32(n))
-    if not bool(converged):
-        from density_tpu import native
-        return native.encode("lion", buf.tobytes())
-    total = int(total)
-    out = np.asarray(out_words[: (total + 1) // 2]).astype("<u2").tobytes()
-    return out[:total]
+    return layout.encode_oneshot(PIPELINE, "lion", data)
 
 
 # ---------------------------------------------------------------------------
@@ -222,7 +203,8 @@ def _resolve_scan(flags, w0, w1, valid):
 
     init = (jnp.zeros(tbl, jnp.uint32), jnp.zeros(tbl, jnp.uint32),
             jnp.zeros((tbl, K), jnp.uint32), jnp.int32(0))
-    _, quads = jax.lax.scan(step, init, (flags, w0, w1, valid))
+    _, quads = jax.lax.scan(step, init, (flags, w0, w1, valid),
+                            unroll=8)
     return quads
 
 

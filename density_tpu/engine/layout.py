@@ -13,12 +13,14 @@ Codec-independent reimplementation of the reference's block driver
     scatters: [signature][payload tokens][ragged tail] per block, raw
     bytes for copy blocks.
 
-The per-codec part is two callbacks:
+The fixed point is driven from the host over three separately-jitted
+stages (plan / fsm / assemble): the common case (no incompressible
+block) costs one plan call, and splitting the graph keeps XLA compile
+times bounded -- a monolithic while_loop version compiled 5-10x
+slower on TPU.
 
-  classify(quads, hashes, real, copy_blocks) -> TokenPlan
-  sig_pack(flags_2d)  -> (nb, SIG_WORDS) uint32 signature words
-
-Everything here is shape-static and vmappable across streams.
+All stages are batched over a leading streams axis; sharding that axis
+over a mesh makes them SPMD with zero collectives.
 """
 
 from __future__ import annotations
@@ -28,6 +30,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from density_tpu.engine.grouping import hash_quads
 from density_tpu.engine.protection import replay_fsm
@@ -46,103 +49,166 @@ class TokenPlan:
     valid: jax.Array          # (n_q,) bool -- real quad in non-copy block
 
 
-def encode_stream(words, n_bytes, *, Q: int, SIG_WORDS: int, BLOCK: int,
-                  classify: Callable, sig_pack: Callable):
-    """Generic encode. `words` is uint32[cap_words] of u16 input values
-    with cap_words % (2*Q) == 0. Returns (out_words, total_bytes,
-    converged, iters)."""
+@dataclasses.dataclass
+class EncodePipeline:
+    """Jitted, stream-batched encode stages for one codec."""
+
+    plan: Callable       # (words, nbytes, copy) -> plan tuple + bits
+    step_fsm: Callable   # (bits, nbytes) -> new copy mask
+    assemble: Callable   # (words, nbytes, copy, plan tuple) -> (out, total)
+    Q: int
+    SIG_WORDS: int
+    BLOCK: int
+
+
+def build_pipeline(*, Q: int, SIG_WORDS: int, BLOCK: int,
+                   classify: Callable, sig_pack: Callable) -> EncodePipeline:
     sig_bytes = 2 * SIG_WORDS
-    cap_words = words.shape[0]
-    n_q = cap_words // 2
-    nb = n_q // Q
 
-    quads = (words[0:2 * n_q:2] | (words[1:2 * n_q:2] << 16)).astype(jnp.uint32)
-    hashes = hash_quads(quads)
-    full_quads = n_bytes // 4
-    real = jnp.arange(n_q, dtype=jnp.int32) < full_quads
-    n_blocks_real = (n_bytes + BLOCK - 1) // BLOCK
-    ragged = n_bytes % 4
-    last_real = n_blocks_real - 1
-    bidx = jnp.arange(nb, dtype=jnp.int32)
+    def geometry(words, n_bytes):
+        cap_words = words.shape[0]
+        n_q = cap_words // 2
+        nb = n_q // Q
+        full_quads = n_bytes // 4
+        n_blocks_real = (n_bytes + BLOCK - 1) // BLOCK
+        return cap_words, n_q, nb, full_quads, n_blocks_real
 
-    def block_sizes(plan: TokenPlan):
-        per_block_words = plan.payload_words.reshape(nb, Q).sum(axis=1)
+    def plan_one(words, n_bytes, copy):
+        cap_words, n_q, nb, full_quads, n_blocks_real = geometry(
+            words, n_bytes)
+        quads = (words[0:2 * n_q:2]
+                 | (words[1:2 * n_q:2] << 16)).astype(jnp.uint32)
+        hashes = hash_quads(quads)
+        real = jnp.arange(n_q, dtype=jnp.int32) < full_quads
+        p = classify(quads, hashes, real, copy)
+        per_block_words = p.payload_words.reshape(nb, Q).sum(axis=1)
+        bidx = jnp.arange(nb, dtype=jnp.int32)
+        ragged = n_bytes % 4
+        enc_bytes = (sig_bytes + 2 * per_block_words
+                     + jnp.where(bidx == n_blocks_real - 1, ragged, 0))
+        bits = enc_bytes >= BLOCK
+        return p.flags, p.payload_words, p.w0, p.w1, p.valid, bits
+
+    def fsm_one(bits, n_bytes):
+        nb = bits.shape[0]
+        n_blocks_real = (n_bytes + BLOCK - 1) // BLOCK
+        return replay_fsm(bits) & (jnp.arange(nb) < n_blocks_real)
+
+    def assemble_one(words, n_bytes, copy, flags, payload_words, w0, w1,
+                     valid):
+        cap_words, n_q, nb, full_quads, n_blocks_real = geometry(
+            words, n_bytes)
+        bidx = jnp.arange(nb, dtype=jnp.int32)
+        ragged = n_bytes % 4
+        last_real = n_blocks_real - 1
+        per_block_words = payload_words.reshape(nb, Q).sum(axis=1)
         enc_bytes = (sig_bytes + 2 * per_block_words
                      + jnp.where(bidx == last_real, ragged, 0))
-        return enc_bytes
 
-    def body(state):
-        copy, _, it = state
-        plan = classify(quads, hashes, real, copy)
-        enc_bytes = block_sizes(plan)
-        bits = enc_bytes >= BLOCK
-        new_copy = replay_fsm(bits) & (bidx < n_blocks_real)
-        converged = jnp.all(new_copy == copy)
-        return new_copy, converged, it + 1
+        is_real_block = bidx < n_blocks_real
+        blen = jnp.clip(n_bytes - bidx * BLOCK, 0, BLOCK)
+        out_bytes_b = jnp.where(is_real_block,
+                                jnp.where(copy, blen, enc_bytes), 0)
+        byte_off = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32),
+             jnp.cumsum(out_bytes_b)[:-1]]).astype(jnp.int32)
+        total_bytes = jnp.sum(out_bytes_b).astype(jnp.int32)
+        word_off = byte_off // 2  # every block starts even-aligned
 
-    def cond(state):
-        _, converged, it = state
-        return (~converged) & (it < MAX_FIXED_POINT_ITERS)
+        # worst case: every quad plain -> safe_encode_buffer_size words
+        out_words = jnp.zeros(cap_words + nb * SIG_WORDS, dtype=jnp.uint32)
+        oob = out_words.shape[0]  # positive OOB sentinel (mode="drop")
 
-    state = body((jnp.zeros(nb, dtype=bool), jnp.bool_(False), jnp.int32(0)))
-    copy, converged, iters = jax.lax.while_loop(cond, body, state)
+        sig_words = sig_pack(flags.reshape(nb, Q))
+        sig_idx = word_off[:, None] + jnp.arange(SIG_WORDS)[None, :]
+        sig_idx = jnp.where((is_real_block & ~copy)[:, None], sig_idx, oob)
+        out_words = out_words.at[sig_idx.reshape(-1)].set(
+            sig_words.reshape(-1), mode="drop")
 
-    plan = classify(quads, hashes, real, copy)
-    enc_bytes = block_sizes(plan)
+        pw = payload_words.reshape(nb, Q)
+        intra = jnp.cumsum(pw, axis=1) - pw
+        pos = (word_off[:, None] + SIG_WORDS + intra).reshape(-1)
+        idx0 = jnp.where(valid & (payload_words >= 1), pos, oob)
+        out_words = out_words.at[idx0].set(w0, mode="drop")
+        idx1 = jnp.where(valid & (payload_words == 2), pos + 1, oob)
+        out_words = out_words.at[idx1].set(w1, mode="drop")
 
-    is_real_block = bidx < n_blocks_real
-    blen = jnp.clip(n_bytes - bidx * BLOCK, 0, BLOCK)
-    out_bytes_b = jnp.where(is_real_block,
-                            jnp.where(copy, blen, enc_bytes), 0)
-    byte_off = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32),
-         jnp.cumsum(out_bytes_b)[:-1]]).astype(jnp.int32)
-    total_bytes = jnp.sum(out_bytes_b).astype(jnp.int32)
-    word_off = byte_off // 2  # every block starts even-aligned
+        lr = jnp.clip(last_real, 0, nb - 1)
+        last_is_copy = copy[lr]
+        rag_src = full_quads * 2 + jnp.arange(2)
+        rag_pos = word_off[lr] + (enc_bytes[lr] - ragged) // 2 + jnp.arange(2)
+        rag_valid = ((~last_is_copy) & (jnp.arange(2) * 2 < ragged)
+                     & (n_blocks_real > 0))
+        rag_idx = jnp.where(rag_valid, rag_pos, oob)
+        out_words = out_words.at[rag_idx].set(
+            words[jnp.clip(rag_src, 0, cap_words - 1)], mode="drop")
 
-    # worst case: every quad plain -> safe_encode_buffer_size words
-    out_words = jnp.zeros(cap_words + nb * SIG_WORDS, dtype=jnp.uint32)
-    oob = out_words.shape[0]  # positive OOB sentinel (mode="drop")
+        w_per_block = BLOCK // 2
+        j = jnp.arange(w_per_block)[None, :]
+        copy_src = bidx[:, None] * w_per_block + j
+        copy_dst = word_off[:, None] + j
+        blen_words = (blen + 1) // 2
+        copy_mask = ((copy & is_real_block)[:, None]
+                     & (j < blen_words[:, None]))
+        copy_idx = jnp.where(copy_mask, copy_dst, oob)
+        out_words = out_words.at[copy_idx.reshape(-1)].set(
+            words[jnp.clip(copy_src, 0, cap_words - 1)].reshape(-1),
+            mode="drop")
 
-    # --- signatures
-    sig_words = sig_pack(plan.flags.reshape(nb, Q))
-    sig_idx = word_off[:, None] + jnp.arange(SIG_WORDS)[None, :]
-    sig_idx = jnp.where((is_real_block & ~copy)[:, None], sig_idx, oob)
-    out_words = out_words.at[sig_idx.reshape(-1)].set(
-        sig_words.reshape(-1), mode="drop")
+        return out_words, total_bytes
 
-    # --- payload tokens
-    pw = plan.payload_words.reshape(nb, Q)
-    intra = jnp.cumsum(pw, axis=1) - pw
-    pos = (word_off[:, None] + SIG_WORDS + intra).reshape(-1)
-    idx0 = jnp.where(plan.valid & (plan.payload_words >= 1), pos, oob)
-    out_words = out_words.at[idx0].set(plan.w0, mode="drop")
-    idx1 = jnp.where(plan.valid & (plan.payload_words == 2), pos + 1, oob)
-    out_words = out_words.at[idx1].set(plan.w1, mode="drop")
+    return EncodePipeline(
+        plan=jax.jit(jax.vmap(plan_one)),
+        step_fsm=jax.jit(jax.vmap(fsm_one)),
+        assemble=jax.jit(jax.vmap(assemble_one)),
+        Q=Q, SIG_WORDS=SIG_WORDS, BLOCK=BLOCK)
 
-    # --- ragged tail of the last (non-copy) block
-    lr = jnp.clip(last_real, 0, nb - 1)
-    last_is_copy = copy[lr]
-    rag_src = full_quads * 2 + jnp.arange(2)
-    rag_pos = word_off[lr] + (enc_bytes[lr] - ragged) // 2 + jnp.arange(2)
-    rag_valid = ((~last_is_copy) & (jnp.arange(2) * 2 < ragged)
-                 & (n_blocks_real > 0))
-    rag_idx = jnp.where(rag_valid, rag_pos, oob)
-    out_words = out_words.at[rag_idx].set(
-        words[jnp.clip(rag_src, 0, cap_words - 1)], mode="drop")
 
-    # --- copy blocks: raw input words
-    w_per_block = BLOCK // 2
-    j = jnp.arange(w_per_block)[None, :]
-    copy_src = bidx[:, None] * w_per_block + j
-    copy_dst = word_off[:, None] + j
-    blen_words = (blen + 1) // 2
-    copy_mask = (copy & is_real_block)[:, None] & (j < blen_words[:, None])
-    copy_idx = jnp.where(copy_mask, copy_dst, oob)
-    out_words = out_words.at[copy_idx.reshape(-1)].set(
-        words[jnp.clip(copy_src, 0, cap_words - 1)].reshape(-1), mode="drop")
+def run_encode(pipe: EncodePipeline, words, nbytes):
+    """Host-driven fixed point over the copy-block set.
 
-    return out_words, total_bytes, converged, iters
+    words: uint32[(S, cap_words)] device array (may be sharded over a
+    mesh along the leading axis); nbytes: int32[(S,)].
+    Returns (out_words, totals, converged: bool).
+    """
+    S, cap_words = words.shape
+    nb = cap_words // 2 // pipe.Q
+    copy = jnp.zeros((S, nb), dtype=bool)
+    converged = False
+    for _ in range(MAX_FIXED_POINT_ITERS):
+        flags, pw, w0, w1, valid, bits = pipe.plan(words, nbytes, copy)
+        new_copy = pipe.step_fsm(bits, nbytes)
+        if bool(jnp.all(new_copy == copy)):
+            converged = True
+            break
+        copy = new_copy
+    out_words, totals = pipe.assemble(words, nbytes, copy, flags, pw, w0,
+                                      w1, valid)
+    return out_words, totals, converged
+
+
+def encode_oneshot(pipe: EncodePipeline, codec_name: str,
+                   data) -> bytes:
+    """Single-stream host wrapper: bytes in, density-stream bytes out."""
+    buf = np.frombuffer(bytes(data), dtype=np.uint8) if isinstance(
+        data, (bytes, bytearray)) else np.asarray(data, dtype=np.uint8)
+    n = buf.size
+    if n == 0:
+        return b""
+    cap_bytes = bucket_bytes(n, pipe.BLOCK)
+    padded = np.zeros(cap_bytes, dtype=np.uint8)
+    padded[:n] = buf
+    words = padded.view("<u2").astype(np.uint32)[None, :]
+    nbytes = jnp.asarray(np.array([n], dtype=np.int32))
+    out_words, totals, converged = run_encode(pipe, jnp.asarray(words),
+                                              nbytes)
+    if not converged:  # pathological stream: exact native fallback
+        from density_tpu import native
+        return native.encode(codec_name, buf.tobytes())
+    total = int(totals[0])
+    out = np.asarray(out_words[0, : (total + 1) // 2]).astype(
+        "<u2").tobytes()
+    return out[:total]
 
 
 def bucket_bytes(n: int, block: int) -> int:

@@ -29,17 +29,6 @@ def _codec_mod(codec: str):
     return importlib.import_module(f"density_tpu.codecs.{codec}")
 
 
-@functools.partial(jax.jit, static_argnames=("codec",))
-def _encode_batch(words, nbytes, codec):
-    mod = _codec_mod(codec)
-    spec = SPECS[codec]
-    fn = functools.partial(layout.encode_stream,
-                           Q=spec.quads_per_block, SIG_WORDS=spec.sig_words,
-                           BLOCK=spec.block_size, classify=mod.classify,
-                           sig_pack=mod.sig_pack)
-    return jax.vmap(fn)(words, nbytes)
-
-
 def compress(data: bytes, codec: str, stream_size: int = DEFAULT_STREAM_SIZE,
              mesh=None) -> bytes:
     buf = np.frombuffer(bytes(data), dtype=np.uint8)
@@ -66,17 +55,20 @@ def compress(data: bytes, codec: str, stream_size: int = DEFAULT_STREAM_SIZE,
     sh = stream_sharding(mesh)
     jwords = jax.device_put(jnp.asarray(words), sh)
     jn = jax.device_put(jnp.asarray(nbytes), sh)
-    out_words, totals, converged, _ = _encode_batch(jwords, jn, codec)
+    pipe = _codec_mod(codec).PIPELINE
+    out_words, totals, converged = layout.run_encode(pipe, jwords, jn)
 
     totals = np.asarray(totals)
-    conv = np.asarray(converged)
-    out_np = np.asarray(out_words)  # ordered gather
+    # ordered gather: one device->host transfer of u16 words (the
+    # padded-capacity tail is trimmed per stream below)
+    max_words = (int(totals[:s_real].max()) + 1) // 2 if s_real else 0
+    out_np = np.asarray(out_words[:, :max_words].astype(jnp.uint16))
     parts = []
     lengths = []
     for s in range(s_real):
-        if conv[s]:
+        if converged:
             t = int(totals[s])
-            raw = out_np[s, : (t + 1) // 2].astype("<u2").tobytes()[:t]
+            raw = out_np[s, : (t + 1) // 2].tobytes()[:t]
         else:  # pathological stream: exact native fallback
             from density_tpu import native
             raw = native.encode(
@@ -158,15 +150,14 @@ def decompress(data: bytes, mesh=None) -> bytes:
         jax.device_put(jnp.asarray(copyf), sh),
         jax.device_put(jnp.asarray(nb_real), sh),
         jax.device_put(jnp.asarray(out_lens), sh), codec)
-    out_np = np.asarray(out_words)
+    out_np = np.asarray(out_words.astype(jnp.uint16))
 
     parts = []
     for s in range(s_real):
         ol = int(out_lens[s])
         if ol == 0:
             continue
-        chunk = bytearray(
-            out_np[s, : (ol + 1) // 2].astype("<u2").tobytes()[:ol])
+        chunk = bytearray(out_np[s, : (ol + 1) // 2].tobytes()[:ol])
         ragged = ol % 4
         if ragged and not copyf[s, nb_real[s] - 1]:
             chunk[-ragged:] = streams[s][-ragged:]

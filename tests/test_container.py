@@ -24,8 +24,9 @@ CODECS = ["chameleon", "cheetah", "lion"]
 @pytest.mark.parametrize("codec", CODECS)
 def test_roundtrip_sharded(codec):
     data = _data()
-    blob = container.compress(data, codec, stream_size=16384)
-    out = container.decompress(blob)
+    mesh = default_mesh(jax.devices("cpu"))
+    blob = container.compress(data, codec, stream_size=16384, mesh=mesh)
+    out = container.decompress(blob, mesh=mesh)
     assert out == data
 
 
@@ -33,8 +34,9 @@ def test_roundtrip_sharded(codec):
 def test_device_count_invariance(codec):
     """Same container bytes on 1 device and on 8 devices."""
     data = _data()[:60000]
-    mesh1 = default_mesh(jax.devices()[:1])
-    mesh8 = default_mesh(jax.devices())
+    mesh1 = default_mesh(jax.devices("cpu")[:1])
+    mesh8 = default_mesh(jax.devices("cpu"))
+    assert mesh8.devices.size == 8
     blob1 = container.compress(data, codec, stream_size=8192, mesh=mesh1)
     blob8 = container.compress(data, codec, stream_size=8192, mesh=mesh8)
     assert blob1 == blob8
@@ -57,11 +59,17 @@ def test_stream_tier1_compat():
 
 
 def test_empty_and_tiny():
+    mesh = default_mesh(jax.devices("cpu"))
     for codec in CODECS:
-        assert container.decompress(container.compress(b"", codec)) == b""
-        assert container.decompress(container.compress(b"x", codec)) == b"x"
+        assert container.decompress(
+            container.compress(b"", codec, mesh=mesh), mesh=mesh) == b""
+        assert container.decompress(
+            container.compress(b"x", codec, stream_size=4096, mesh=mesh),
+            mesh=mesh) == b"x"
         d = b"abc" * 7
-        assert container.decompress(container.compress(d, codec)) == d
+        assert container.decompress(
+            container.compress(d, codec, stream_size=4096, mesh=mesh),
+            mesh=mesh) == d
 
 
 def test_bad_container():
