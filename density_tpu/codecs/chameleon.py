@@ -31,7 +31,8 @@ import numpy as np
 
 from density_tpu.constants import CHAMELEON as SPEC
 from density_tpu.engine.grouping import (
-    hash_quads, prev_valid_value_in_group, last_valid_value_fill)
+    hash_quads, prev_valid_value_in_group, last_valid_value_fill,
+    sort_with, unsort_with, shift_right)
 from density_tpu.engine import layout
 from density_tpu.engine.layout import TokenPlan
 
@@ -54,6 +55,30 @@ def classify(quads, hashes, real, copy_blocks):
     return TokenPlan(flags, payload_words, w0, w1, valid)
 
 
+def classify_fast(quads, hashes, real):
+    """Copy-free hot path: one multi-operand sort in, dense adjacent
+    compares, one sort back. No gathers.
+
+    Padding quads (beyond the real stream) are all-zero, hash to group
+    0, and carry the largest original indices, so the stable sort
+    parks them at the end of group 0 where no real quad ever sees one
+    as its predecessor -- masking is unnecessary.
+    """
+    n_q = quads.shape[0]
+    idx = jnp.arange(n_q, dtype=jnp.int32)
+    h_s, idx_s, q_s = sort_with(hashes, idx, quads)
+    same = h_s == shift_right(h_s, jnp.uint32(0xFFFFFFFF))
+    prev_q = shift_right(q_s, jnp.uint32(0))
+    # first-in-group sees the zero-initialized dictionary
+    is_map_s = jnp.where(same, q_s == prev_q, q_s == 0)
+    is_map = unsort_with(idx_s, is_map_s) & real
+    flags = is_map.astype(jnp.int32)
+    payload_words = jnp.where(real, jnp.where(is_map, 1, 2), 0)
+    w0 = jnp.where(is_map, hashes, quads & 0xFFFF).astype(jnp.uint32)
+    w1 = (quads >> 16).astype(jnp.uint32)
+    return TokenPlan(flags, payload_words, w0, w1, real)
+
+
 def sig_pack(flags_2d):
     """1-bit flags, LSB-first -> 4 u16 words per block."""
     nb = flags_2d.shape[0]
@@ -63,7 +88,8 @@ def sig_pack(flags_2d):
 
 
 PIPELINE = layout.build_pipeline(Q=Q, SIG_WORDS=SIG_WORDS, BLOCK=BLOCK,
-                                 classify=classify, sig_pack=sig_pack)
+                                 classify=classify, sig_pack=sig_pack,
+                                 classify_fast=classify_fast)
 
 
 def encode(data: bytes | np.ndarray) -> bytes:

@@ -41,7 +41,8 @@ import numpy as np
 
 from density_tpu.constants import CHEETAH as SPEC
 from density_tpu.engine.grouping import (
-    hash_quads, prev_valid_value_in_group, mru2_state_in_group)
+    hash_quads, prev_valid_value_in_group, mru2_state_in_group,
+    sort_with, unsort_with, shift_right, seg_mtf2_before)
 from density_tpu.engine import layout
 from density_tpu.engine.layout import TokenPlan
 
@@ -90,6 +91,46 @@ def classify(quads, hashes, real, copy_blocks):
     return TokenPlan(flags.astype(jnp.int32), payload_words, w0, w1, valid)
 
 
+def classify_fast(quads, hashes, real):
+    """Copy-free hot path: dense context chain (ctx_i = h_{i-1}), two
+    multi-operand sorts (context groups, hash groups), dense adjacent
+    compares and a gather-free segmented MTF-2 scan. Padding quads sit
+    at the end of their groups (largest indices, stable sort), so no
+    masking is needed for predecessors."""
+    n_q = quads.shape[0]
+    idx = jnp.arange(n_q, dtype=jnp.int32)
+    ctx = shift_right(hashes, jnp.uint32(0))  # last_hash chain, dense
+
+    # prediction: prev value in context group
+    c_s, idx1, q1 = sort_with(ctx, idx, quads)
+    same = c_s == shift_right(c_s, jnp.uint32(0xFFFFFFFF))
+    pred_s = jnp.where(same, q1 == shift_right(q1, jnp.uint32(0)), q1 == 0)
+    predicted = unsort_with(idx1, pred_s) & real
+
+    # dictionary: MTF-2 over non-predicted quads, per hash group
+    act = (real & ~predicted).astype(jnp.int32)
+    h_s, idx2, q2, act_s = sort_with(hashes, idx, quads, act)
+    firstg = h_s != shift_right(h_s, jnp.uint32(0xFFFFFFFF))
+    front, second = seg_mtf2_before(firstg, q2, act_s == 1)
+    a_s = q2 == front
+    b_s = ~a_s & (q2 == second)
+    map_a, map_b = unsort_with(idx2, a_s, b_s)
+    dict_valid = real & ~predicted
+    map_a = dict_valid & map_a
+    map_b = dict_valid & map_b
+    plain = dict_valid & ~map_a & ~map_b
+
+    flags = jnp.where(predicted, FLAG_PRED,
+                      jnp.where(map_a, FLAG_MAP_A,
+                                jnp.where(map_b, FLAG_MAP_B, FLAG_PLAIN)))
+    payload_words = jnp.where(real,
+                              jnp.where(predicted, 0,
+                                        jnp.where(plain, 2, 1)), 0)
+    w0 = jnp.where(plain, quads & 0xFFFF, hashes).astype(jnp.uint32)
+    w1 = (quads >> 16).astype(jnp.uint32)
+    return TokenPlan(flags.astype(jnp.int32), payload_words, w0, w1, real)
+
+
 def sig_pack(flags_2d):
     """2-bit flags, LSB-first -> 4 u16 words per block (8 flags/word)."""
     nb = flags_2d.shape[0]
@@ -99,7 +140,8 @@ def sig_pack(flags_2d):
 
 
 PIPELINE = layout.build_pipeline(Q=Q, SIG_WORDS=SIG_WORDS, BLOCK=BLOCK,
-                                 classify=classify, sig_pack=sig_pack)
+                                 classify=classify, sig_pack=sig_pack,
+                                 classify_fast=classify_fast)
 
 
 def encode(data: bytes | np.ndarray) -> bytes:

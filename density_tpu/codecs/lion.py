@@ -37,8 +37,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from density_tpu.constants import LION as SPEC
-from density_tpu.engine.grouping import hash_quads, mru2_state_in_group
-from density_tpu.engine.mtf import mtf_depths_in_group
+from density_tpu.engine.grouping import (
+    hash_quads, mru2_state_in_group, sort_with, unsort_with, shift_right,
+    seg_mtf2_before)
+from density_tpu.engine.mtf import mtf_depths_in_group, mtf_depths_sorted
 from density_tpu.engine import layout
 from density_tpu.engine.layout import TokenPlan
 
@@ -90,6 +92,44 @@ def classify(quads, hashes, real, copy_blocks):
     return TokenPlan(flags.astype(jnp.int32), payload_words, w0, w1, valid)
 
 
+def classify_fast(quads, hashes, real):
+    """Copy-free hot path: dense context chain, gather-free MTF-5
+    (prediction queue) and MTF-2 (dictionary) segmented scans over
+    multi-operand-sorted groups."""
+    n_q = quads.shape[0]
+    idx = jnp.arange(n_q, dtype=jnp.int32)
+    ctx = shift_right(hashes, jnp.uint32(0))
+
+    c_s, idx1, q1, real1 = sort_with(ctx, idx, quads,
+                                     real.astype(jnp.int32))
+    firstc = c_s != shift_right(c_s, jnp.uint32(0xFFFFFFFF))
+    depth_s = mtf_depths_sorted(firstc, q1, real1 == 1, K)
+    depth = unsort_with(idx1, depth_s)
+    predicted = real & (depth < K)
+
+    act = (real & ~predicted).astype(jnp.int32)
+    h_s, idx2, q2, act_s = sort_with(hashes, idx, quads, act)
+    firstg = h_s != shift_right(h_s, jnp.uint32(0xFFFFFFFF))
+    front, second = seg_mtf2_before(firstg, q2, act_s == 1)
+    a_s = q2 == front
+    b_s = ~a_s & (q2 == second)
+    map_a, map_b = unsort_with(idx2, a_s, b_s)
+    dict_valid = real & ~predicted
+    map_a = dict_valid & map_a
+    map_b = dict_valid & map_b
+    plain = dict_valid & ~map_a & ~map_b
+
+    flags = jnp.where(predicted, depth + 1,
+                      jnp.where(map_a, FLAG_MAP_A,
+                                jnp.where(map_b, FLAG_MAP_B, FLAG_PLAIN)))
+    payload_words = jnp.where(real,
+                              jnp.where(predicted, 0,
+                                        jnp.where(plain, 2, 1)), 0)
+    w0 = jnp.where(plain, quads & 0xFFFF, hashes).astype(jnp.uint32)
+    w1 = (quads >> 16).astype(jnp.uint32)
+    return TokenPlan(flags.astype(jnp.int32), payload_words, w0, w1, real)
+
+
 def sig_pack(flags_2d):
     """3-bit flags x 16 quads = 48 bits -> 3 u16 words, LSB-first.
     Two-limb u32 arithmetic (bit 30..32 of flag 10 crosses the limb)."""
@@ -125,7 +165,8 @@ def sig_unpack(sig_w):
 
 
 PIPELINE = layout.build_pipeline(Q=Q, SIG_WORDS=SIG_WORDS, BLOCK=BLOCK,
-                                 classify=classify, sig_pack=sig_pack)
+                                 classify=classify, sig_pack=sig_pack,
+                                 classify_fast=classify_fast)
 
 
 def encode(data: bytes | np.ndarray) -> bytes:

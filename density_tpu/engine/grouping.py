@@ -27,6 +27,31 @@ def hash_quads(quads: jax.Array) -> jax.Array:
     return (q * jnp.uint32(HASH_MULTIPLIER)) >> (32 - HASH_BITS)
 
 
+def sort_with(key: jax.Array, *ops: jax.Array):
+    """Stable sort by `key`, carrying `ops` through the sort network.
+
+    Multi-operand lax.sort avoids post-sort random gathers, which cost
+    ~20 ns/element on TPU -- an order of magnitude more than the sort
+    itself for the array sizes here.
+    """
+    return jax.lax.sort((key,) + ops, num_keys=1, is_stable=True)
+
+
+def unsort_with(idx_sorted: jax.Array, *ops: jax.Array):
+    """Inverse of sort_with given the carried original indices: one
+    more sort, by original index, carrying the computed results back
+    to original order (again gather-free)."""
+    out = jax.lax.sort((idx_sorted,) + ops, num_keys=1, is_stable=True)
+    return out[1:] if len(ops) > 1 else out[1]
+
+
+def shift_right(x: jax.Array, fill) -> jax.Array:
+    """Dense shift by one along axis 0 (the 'previous element' in a
+    sorted domain)."""
+    pad = jnp.full((1,) + x.shape[1:], fill, dtype=x.dtype)
+    return jnp.concatenate([pad, x[:-1]], axis=0)
+
+
 def sort_by_group(group: jax.Array):
     """Stable argsort by group id. Returns (order, inv_order)."""
     n = group.shape[0]
@@ -34,6 +59,76 @@ def sort_by_group(group: jax.Array):
     inv = jnp.zeros(n, dtype=jnp.int32).at[order].set(
         jnp.arange(n, dtype=jnp.int32))
     return order, inv
+
+
+def seg_last_active_before(first, vals, active):
+    """Sorted-domain segmented fill, gather-free: for each position t,
+    the value of the latest ACTIVE position strictly before t within
+    its segment (segments delimited by `first`), else 0.
+
+    Dense associative scan: state (value, has); combine keeps the
+    right state when it has a value. Returns (value, has).
+    """
+    val0 = jnp.where(active, vals, 0)
+    has0 = active
+    sticky0 = first
+
+    def combine(a, b):
+        va, ha, sa = a
+        vb, hb, sb = b
+        v = jnp.where(sb, vb, jnp.where(hb, vb, va))
+        h = jnp.where(sb, hb, ha | hb)
+        return v, h, sa | sb
+
+    vi, hi, _ = jax.lax.associative_scan(combine, (val0, has0, sticky0))
+    # exclusive: shift by one, reset at segment starts
+    v = jnp.where(first, 0, shift_right(vi, 0))
+    h = jnp.where(first, False, shift_right(hi, False))
+    return v, h
+
+
+def seg_mtf2_before(first, vals, active):
+    """Sorted-domain MTF-2 state observed BEFORE each position, over
+    active positions, segment-reset at `first`. Gather-free (dense
+    associative scan with the MTF monoid, K=2).
+
+    Returns (front, second): the chunk_a/chunk_b pair the reference
+    dictionaries would hold when this position is processed, with the
+    zero-init convention (missing entries read as 0).
+    """
+    d0 = jnp.where(active, vals, 0)
+    d1 = jnp.zeros_like(vals)
+    cnt = active.astype(jnp.int32)
+    sticky0 = first
+
+    def combine(a, b):
+        a0, a1, ca, sa = a
+        b0, b1, cb, sb = b
+        # membership of a-entries in b's distinct set
+        in_b0 = ((cb >= 1) & (a0 == b0)) | ((cb >= 2) & (a0 == b1))
+        in_b1 = ((cb >= 1) & (a1 == b0)) | ((cb >= 2) & (a1 == b1))
+        keep0 = (ca >= 1) & ~in_b0
+        keep1 = (ca >= 2) & ~in_b1
+        first_kept = jnp.where(keep0, a0, a1)
+        any_kept = keep0 | keep1
+        # merged D = b.D ++ kept(a.D), capped at 2
+        m0 = jnp.where(cb >= 1, b0, jnp.where(any_kept, first_kept, 0))
+        m1 = jnp.where(cb >= 2, b1,
+                       jnp.where(cb == 1,
+                                 jnp.where(any_kept, first_kept, 0),
+                                 jnp.where(keep0 & keep1, a1, 0)))
+        cm = jnp.minimum(cb + keep0.astype(jnp.int32)
+                         + keep1.astype(jnp.int32), 2)
+        o0 = jnp.where(sb, b0, m0)
+        o1 = jnp.where(sb, b1, m1)
+        co = jnp.where(sb, cb, cm)
+        return o0, o1, co, sa | sb
+
+    i0, i1, ic, _ = jax.lax.associative_scan(
+        combine, (d0, d1, cnt, sticky0))
+    front = jnp.where(first, 0, shift_right(i0, 0))
+    second = jnp.where(first, 0, shift_right(i1, 0))
+    return front, second
 
 
 def prev_valid_value_in_group(group: jax.Array, values: jax.Array,

@@ -59,10 +59,13 @@ class EncodePipeline:
     Q: int
     SIG_WORDS: int
     BLOCK: int
+    plan_fast: Callable | None = None  # (words, nbytes) -> same, copy-free
+    assemble_fast: Callable | None = None  # copy-free assembly
 
 
 def build_pipeline(*, Q: int, SIG_WORDS: int, BLOCK: int,
-                   classify: Callable, sig_pack: Callable) -> EncodePipeline:
+                   classify: Callable, sig_pack: Callable,
+                   classify_fast: Callable | None = None) -> EncodePipeline:
     sig_bytes = 2 * SIG_WORDS
 
     def geometry(words, n_bytes):
@@ -73,14 +76,7 @@ def build_pipeline(*, Q: int, SIG_WORDS: int, BLOCK: int,
         n_blocks_real = (n_bytes + BLOCK - 1) // BLOCK
         return cap_words, n_q, nb, full_quads, n_blocks_real
 
-    def plan_one(words, n_bytes, copy):
-        cap_words, n_q, nb, full_quads, n_blocks_real = geometry(
-            words, n_bytes)
-        quads = (words[0:2 * n_q:2]
-                 | (words[1:2 * n_q:2] << 16)).astype(jnp.uint32)
-        hashes = hash_quads(quads)
-        real = jnp.arange(n_q, dtype=jnp.int32) < full_quads
-        p = classify(quads, hashes, real, copy)
+    def _finish_plan(p, n_bytes, nb, n_blocks_real):
         per_block_words = p.payload_words.reshape(nb, Q).sum(axis=1)
         bidx = jnp.arange(nb, dtype=jnp.int32)
         ragged = n_bytes % 4
@@ -89,13 +85,36 @@ def build_pipeline(*, Q: int, SIG_WORDS: int, BLOCK: int,
         bits = enc_bytes >= BLOCK
         return p.flags, p.payload_words, p.w0, p.w1, p.valid, bits
 
+    def plan_one(words, n_bytes, copy):
+        cap_words, n_q, nb, full_quads, n_blocks_real = geometry(
+            words, n_bytes)
+        quads = (words[0:2 * n_q:2]
+                 | (words[1:2 * n_q:2] << 16)).astype(jnp.uint32)
+        hashes = hash_quads(quads)
+        real = jnp.arange(n_q, dtype=jnp.int32) < full_quads
+        p = classify(quads, hashes, real, copy)
+        return _finish_plan(p, n_bytes, nb, n_blocks_real)
+
+    def plan_fast_one(words, n_bytes):
+        """Copy-free hot path: no masking anywhere (valid == real, and
+        padding quads provably sort behind every real quad in their
+        hash group), so group-prev becomes a dense shift."""
+        cap_words, n_q, nb, full_quads, n_blocks_real = geometry(
+            words, n_bytes)
+        quads = (words[0:2 * n_q:2]
+                 | (words[1:2 * n_q:2] << 16)).astype(jnp.uint32)
+        hashes = hash_quads(quads)
+        real = jnp.arange(n_q, dtype=jnp.int32) < full_quads
+        p = classify_fast(quads, hashes, real)
+        return _finish_plan(p, n_bytes, nb, n_blocks_real)
+
     def fsm_one(bits, n_bytes):
         nb = bits.shape[0]
         n_blocks_real = (n_bytes + BLOCK - 1) // BLOCK
         return replay_fsm(bits) & (jnp.arange(nb) < n_blocks_real)
 
     def assemble_one(words, n_bytes, copy, flags, payload_words, w0, w1,
-                     valid):
+                     valid, with_copy=True):
         cap_words, n_q, nb, full_quads, n_blocks_real = geometry(
             words, n_bytes)
         bidx = jnp.arange(nb, dtype=jnp.int32)
@@ -108,7 +127,8 @@ def build_pipeline(*, Q: int, SIG_WORDS: int, BLOCK: int,
         is_real_block = bidx < n_blocks_real
         blen = jnp.clip(n_bytes - bidx * BLOCK, 0, BLOCK)
         out_bytes_b = jnp.where(is_real_block,
-                                jnp.where(copy, blen, enc_bytes), 0)
+                                jnp.where(copy, blen, enc_bytes)
+                                if with_copy else enc_bytes, 0)
         byte_off = jnp.concatenate(
             [jnp.zeros(1, jnp.int32),
              jnp.cumsum(out_bytes_b)[:-1]]).astype(jnp.int32)
@@ -143,29 +163,47 @@ def build_pipeline(*, Q: int, SIG_WORDS: int, BLOCK: int,
         out_words = out_words.at[rag_idx].set(
             words[jnp.clip(rag_src, 0, cap_words - 1)], mode="drop")
 
-        w_per_block = BLOCK // 2
-        j = jnp.arange(w_per_block)[None, :]
-        copy_src = bidx[:, None] * w_per_block + j
-        copy_dst = word_off[:, None] + j
-        blen_words = (blen + 1) // 2
-        copy_mask = ((copy & is_real_block)[:, None]
-                     & (j < blen_words[:, None]))
-        copy_idx = jnp.where(copy_mask, copy_dst, oob)
-        out_words = out_words.at[copy_idx.reshape(-1)].set(
-            words[jnp.clip(copy_src, 0, cap_words - 1)].reshape(-1),
-            mode="drop")
+        if with_copy:
+            w_per_block = BLOCK // 2
+            j = jnp.arange(w_per_block)[None, :]
+            copy_src = bidx[:, None] * w_per_block + j
+            copy_dst = word_off[:, None] + j
+            blen_words = (blen + 1) // 2
+            copy_mask = ((copy & is_real_block)[:, None]
+                         & (j < blen_words[:, None]))
+            copy_idx = jnp.where(copy_mask, copy_dst, oob)
+            out_words = out_words.at[copy_idx.reshape(-1)].set(
+                words[jnp.clip(copy_src, 0, cap_words - 1)].reshape(-1),
+                mode="drop")
 
         return out_words, total_bytes
+
+    def assemble_fast_one(words, n_bytes, flags, payload_words, w0, w1,
+                          valid):
+        nb = words.shape[0] // 2 // Q
+        return assemble_one(words, n_bytes, jnp.zeros(nb, bool), flags,
+                            payload_words, w0, w1, valid, with_copy=False)
 
     return EncodePipeline(
         plan=jax.jit(jax.vmap(plan_one)),
         step_fsm=jax.jit(jax.vmap(fsm_one)),
-        assemble=jax.jit(jax.vmap(assemble_one)),
-        Q=Q, SIG_WORDS=SIG_WORDS, BLOCK=BLOCK)
+        assemble=jax.jit(jax.vmap(
+            lambda w, n, c, f, p, w0, w1, v: assemble_one(
+                w, n, c, f, p, w0, w1, v))),
+        Q=Q, SIG_WORDS=SIG_WORDS, BLOCK=BLOCK,
+        plan_fast=(jax.jit(jax.vmap(plan_fast_one))
+                   if classify_fast is not None else None),
+        assemble_fast=jax.jit(jax.vmap(assemble_fast_one)))
 
 
 def run_encode(pipe: EncodePipeline, words, nbytes):
     """Host-driven fixed point over the copy-block set.
+
+    The first iteration assumes no copy blocks; when the codec provides
+    a copy-free fast plan it is used there (dense, no masking). If the
+    FSM then arms no copies -- every stream without an incompressible
+    region -- that single fast pass is the whole hot path. Otherwise
+    the general masked plan iterates to the fixed point.
 
     words: uint32[(S, cap_words)] device array (may be sharded over a
     mesh along the leading axis); nbytes: int32[(S,)].
@@ -175,15 +213,23 @@ def run_encode(pipe: EncodePipeline, words, nbytes):
     nb = cap_words // 2 // pipe.Q
     copy = jnp.zeros((S, nb), dtype=bool)
     converged = False
-    for _ in range(MAX_FIXED_POINT_ITERS):
-        flags, pw, w0, w1, valid, bits = pipe.plan(words, nbytes, copy)
+    for it in range(MAX_FIXED_POINT_ITERS):
+        if it == 0 and pipe.plan_fast is not None:
+            flags, pw, w0, w1, valid, bits = pipe.plan_fast(words, nbytes)
+        else:
+            flags, pw, w0, w1, valid, bits = pipe.plan(words, nbytes, copy)
         new_copy = pipe.step_fsm(bits, nbytes)
-        if bool(jnp.all(new_copy == copy)):
+        if not bool(jnp.any(new_copy != copy)):
             converged = True
             break
         copy = new_copy
-    out_words, totals = pipe.assemble(words, nbytes, copy, flags, pw, w0,
-                                      w1, valid)
+    no_copies = converged and not bool(jnp.any(copy))
+    if no_copies and pipe.assemble_fast is not None:
+        out_words, totals = pipe.assemble_fast(words, nbytes, flags, pw,
+                                               w0, w1, valid)
+    else:
+        out_words, totals = pipe.assemble(words, nbytes, copy, flags, pw,
+                                          w0, w1, valid)
     return out_words, totals, converged
 
 

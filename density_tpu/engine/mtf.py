@@ -42,19 +42,23 @@ def mtf_depths_in_group(group, values, valid, K: int):
     Returns depth (n,) int32 in [0, K] -- K means MISS (not in queue).
     Invalid elements get K. Original order.
     """
-    n = group.shape[0]
     order, inv = sort_by_group(group)
     g_s = group[order]
     v_s = values[order]
     valid_s = valid[order]
-
     first = jnp.concatenate([
         jnp.ones(1, dtype=bool), g_s[1:] != g_s[:-1]])
+    return mtf_depths_sorted(first, v_s, valid_s, K)[inv]
 
+
+def mtf_depths_sorted(first, v_s, valid_s, K: int):
+    """Sorted-domain core of mtf_depths_in_group: inputs already
+    grouped contiguously (segment starts marked by `first`). Dense --
+    no gathers; usable directly on multi-operand-sorted data."""
     # element summaries
     slot = jnp.arange(K)
     D = jnp.where((slot[None, :] == 0) & valid_s[:, None],
-                  v_s[:, None], 0).astype(values.dtype)
+                  v_s[:, None], 0).astype(v_s.dtype)
     cnt = valid_s.astype(jnp.int32)
     sticky = first
 
@@ -94,4 +98,4 @@ def mtf_depths_in_group(group, values, valid, K: int):
     depth_s = jnp.where(found, first_match,
                         jnp.where(zero_pad_hit, cnt_before, K))
     depth_s = jnp.where(valid_s, depth_s, K)
-    return depth_s[inv].astype(jnp.int32)
+    return depth_s.astype(jnp.int32)

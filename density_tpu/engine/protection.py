@@ -60,7 +60,9 @@ def replay_fsm(incompressible_bits: jax.Array) -> jax.Array:
         return (penalty, start, prev), is_copy
 
     init = (jnp.int32(0), jnp.int32(1), jnp.bool_(False))
-    _, copies = jax.lax.scan(step, init, (bits, block_idx))
+    # unroll: the body is a handful of scalar selects -- per-iteration
+    # loop overhead dominates otherwise
+    _, copies = jax.lax.scan(step, init, (bits, block_idx), unroll=32)
     return copies
 
 
