@@ -25,6 +25,8 @@ TPU-native reformulation (NOT a port of the serial loop):
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -32,7 +34,7 @@ import numpy as np
 from density_tpu.constants import CHAMELEON as SPEC
 from density_tpu.engine.grouping import (
     hash_quads, prev_valid_value_in_group, last_valid_value_fill,
-    sort_with, unsort_with, shift_right)
+    sort_with, unsort_with, shift_right, seg_last_active_before)
 from density_tpu.engine import layout
 from density_tpu.engine.layout import TokenPlan
 
@@ -101,11 +103,18 @@ def encode(data: bytes | np.ndarray) -> bytes:
 # Decode
 # ---------------------------------------------------------------------------
 
-@jax.jit
-def _decode_core(words, in_word_off, is_copy, n_blocks_real, out_len):
+@functools.partial(jax.jit, static_argnames=("with_copy",))
+def _decode_core(words, in_word_off, is_copy, n_blocks_real, out_len,
+                 with_copy=True):
     """words: uint32[cap] u16 values of the compressed stream.
     in_word_off/is_copy: per-block metadata (padded to fixed nb).
-    Returns out_words uint32[out_cap] (u16 values)."""
+    Returns out_words uint32[out_cap] (u16 values).
+
+    Decoded output positions are static (every block emits exactly
+    BLOCK bytes), so assembly is a dense interleave -- no scatter. The
+    map fill is a gather-free segmented scan in the hash-sorted domain
+    (sort_with / unsort_with carry everything through the sort
+    network)."""
     nb = in_word_off.shape[0]
     n_q = nb * Q
     cap = words.shape[0]
@@ -124,7 +133,9 @@ def _decode_core(words, in_word_off, is_copy, n_blocks_real, out_len):
     kidx = jnp.arange(n_q, dtype=jnp.int32)
     block_of = kidx // Q
     real = kidx < full_quads
-    valid = real & ~is_copy[block_of] & is_real_block[block_of]
+    valid = real & is_real_block[block_of]
+    if with_copy:
+        valid = valid & ~is_copy[block_of]
     is_map_q = is_map.reshape(-1) & valid
 
     payload_words = jnp.where(valid, jnp.where(is_map_q, 1, 2), 0)
@@ -135,31 +146,36 @@ def _decode_core(words, in_word_off, is_copy, n_blocks_real, out_len):
     w1 = words[jnp.clip(pos + 1, 0, cap - 1)]
     plain_quad = (w0 | (w1 << 16)).astype(jnp.uint32)
 
-    # map resolution: nearest preceding plain with same hash
+    # map resolution: nearest preceding plain with same hash, as a
+    # segmented fill in the hash-sorted domain (gather-free)
     is_plain_q = valid & ~is_map_q
     h = jnp.where(is_map_q, w0, hash_quads(plain_quad)).astype(jnp.uint32)
-    resolved = last_valid_value_fill(h, jnp.where(is_plain_q, plain_quad, 0),
-                                     writer=is_plain_q, reader_fill=0)
+    h_s, idx_s, v_s, p_s = sort_with(
+        h, kidx, jnp.where(is_plain_q, plain_quad, 0),
+        is_plain_q.astype(jnp.int32))
+    firstg = h_s != shift_right(h_s, jnp.uint32(0xFFFFFFFF))
+    fill_s, _ = seg_last_active_before(firstg, v_s, p_s == 1)
+    # inclusive for readers == exclusive here: readers are never
+    # writers at the same position
+    resolved = unsort_with(idx_s, fill_s)
     quads = jnp.where(is_map_q, resolved, plain_quad)
 
-    out_cap = nb * (BLOCK // 2)
-    out_words = jnp.zeros(out_cap, dtype=jnp.uint32)
-    oidx0 = jnp.where(valid, 2 * kidx, out_cap)
-    out_words = out_words.at[oidx0].set(quads & 0xFFFF, mode="drop")
-    oidx1 = jnp.where(valid, 2 * kidx + 1, out_cap)
-    out_words = out_words.at[oidx1].set(quads >> 16, mode="drop")
+    # dense interleave: quad k occupies output words 2k, 2k+1
+    out_words = jnp.stack(
+        [quads & 0xFFFF, quads >> 16], axis=-1).reshape(-1)
+    out_words = jnp.where(
+        jnp.repeat(valid, 2), out_words, 0).astype(jnp.uint32)
 
-    # copy blocks: raw words
-    w_per_block = BLOCK // 2
-    j = jnp.arange(w_per_block)[None, :]
-    blen = jnp.clip(out_len - bidx * BLOCK, 0, BLOCK)
-    blen_words = (blen + 1) // 2
-    src = in_word_off[:, None] + j
-    dst = bidx[:, None] * w_per_block + j
-    cmask = (is_copy & is_real_block)[:, None] & (j < blen_words[:, None])
-    cidx = jnp.where(cmask, dst, out_cap)
-    out_words = out_words.at[cidx.reshape(-1)].set(
-        words[jnp.clip(src, 0, cap - 1)].reshape(-1), mode="drop")
+    if with_copy:
+        # copy blocks: raw input words at dense output positions
+        w_per_block = BLOCK // 2
+        widx = jnp.arange(nb * w_per_block, dtype=jnp.int32)
+        wb = widx // w_per_block
+        wj = widx % w_per_block
+        csrc = in_word_off[wb] + wj
+        take_copy = is_copy[wb] & is_real_block[wb]
+        copy_words = words[jnp.clip(csrc, 0, cap - 1)]
+        out_words = jnp.where(take_copy, copy_words, out_words)
 
     return out_words
 
@@ -186,7 +202,8 @@ def decode(data: bytes, decoded_size_hint: int | None = None) -> bytes:
 
     out_words = _decode_core(jnp.asarray(words), jnp.asarray(in_word_off),
                              jnp.asarray(copy_pad), jnp.int32(nb),
-                             jnp.int32(out_len))
+                             jnp.int32(out_len),
+                             with_copy=bool(is_copy.any()))
     out = np.asarray(out_words[: (out_len + 1) // 2]).astype("<u2").tobytes()
     out = bytearray(out[:out_len])
     ragged = out_len % 4
