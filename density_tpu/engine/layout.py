@@ -61,6 +61,7 @@ class EncodePipeline:
     BLOCK: int
     plan_fast: Callable | None = None  # (words, nbytes) -> same, copy-free
     assemble_fast: Callable | None = None  # copy-free assembly
+    encode_fused: Callable | None = None  # (words, nbytes) -> (out, tot, ok)
 
 
 def build_pipeline(*, Q: int, SIG_WORDS: int, BLOCK: int,
@@ -184,6 +185,28 @@ def build_pipeline(*, Q: int, SIG_WORDS: int, BLOCK: int,
         return assemble_one(words, n_bytes, jnp.zeros(nb, bool), flags,
                             payload_words, w0, w1, valid, with_copy=False)
 
+    def fused_one(words, n_bytes):
+        """Single-dispatch fast path: copy-free plan + assembly, plus an
+        exact no-copy certificate.
+
+        The protection FSM (reference: protection_state.rs:37-47) arms a
+        copy penalty only after TWO consecutive incompressible blocks, so
+        if no two adjacent blocks are incompressible the FSM provably
+        never leaves the encode path -- no scan, no fixed point. `ok`
+        reports that certificate; when False the caller falls back to
+        the general host-driven fixed point.
+        """
+        if classify_fast is not None:
+            flags, pw, w0, w1, valid, bits = plan_fast_one(words, n_bytes)
+        else:
+            nb = words.shape[0] // 2 // Q
+            flags, pw, w0, w1, valid, bits = plan_one(
+                words, n_bytes, jnp.zeros(nb, bool))
+        ok = ~jnp.any(bits[1:] & bits[:-1])
+        out_words, total = assemble_fast_one(words, n_bytes, flags, pw,
+                                             w0, w1, valid)
+        return out_words, total, ok
+
     return EncodePipeline(
         plan=jax.jit(jax.vmap(plan_one)),
         step_fsm=jax.jit(jax.vmap(fsm_one)),
@@ -193,7 +216,8 @@ def build_pipeline(*, Q: int, SIG_WORDS: int, BLOCK: int,
         Q=Q, SIG_WORDS=SIG_WORDS, BLOCK=BLOCK,
         plan_fast=(jax.jit(jax.vmap(plan_fast_one))
                    if classify_fast is not None else None),
-        assemble_fast=jax.jit(jax.vmap(assemble_fast_one)))
+        assemble_fast=jax.jit(jax.vmap(assemble_fast_one)),
+        encode_fused=jax.jit(jax.vmap(fused_one)))
 
 
 def run_encode(pipe: EncodePipeline, words, nbytes):
@@ -211,6 +235,12 @@ def run_encode(pipe: EncodePipeline, words, nbytes):
     """
     S, cap_words = words.shape
     nb = cap_words // 2 // pipe.Q
+    if pipe.encode_fused is not None:
+        # single dispatch + single host sync for the common case (no
+        # stream has two adjacent incompressible blocks)
+        out_words, totals, ok = pipe.encode_fused(words, nbytes)
+        if bool(jnp.all(ok)):
+            return out_words, totals, True
     copy = jnp.zeros((S, nb), dtype=bool)
     converged = False
     for it in range(MAX_FIXED_POINT_ITERS):

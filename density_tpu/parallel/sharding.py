@@ -98,15 +98,15 @@ def _decode_batch(words, in_word_off, is_copy, nb_real, out_len, codec):
     return jax.vmap(one)(words, in_word_off, is_copy, nb_real, out_len)
 
 
-def decompress(data: bytes, mesh=None) -> bytes:
+def decode_prep(data: bytes, mesh=None):
+    """Host-side decode preparation: header parse, native stream scan,
+    staging of device inputs. Returns (codec, device_args, streams,
+    host_meta) where device_args feed _decode_batch."""
     codec, original_len, stream_size, lengths, off = parse_header(data)
-    if original_len == 0:
-        return b""
     from density_tpu import native
     mesh = default_mesh() if mesh is None else mesh
     n_dev = mesh.devices.size
     spec = SPECS[codec]
-    mod = _codec_mod(codec)
     BLOCK = spec.block_size
 
     s_real = len(lengths)
@@ -144,12 +144,23 @@ def decompress(data: bytes, mesh=None) -> bytes:
         words[s, :w16.size] = w16
 
     sh = stream_sharding(mesh)
-    out_words = _decode_batch(
+    device_args = (
         jax.device_put(jnp.asarray(words), sh),
         jax.device_put(jnp.asarray(woff), sh),
         jax.device_put(jnp.asarray(copyf), sh),
         jax.device_put(jnp.asarray(nb_real), sh),
-        jax.device_put(jnp.asarray(out_lens), sh), codec)
+        jax.device_put(jnp.asarray(out_lens), sh))
+    host_meta = (original_len, out_lens, copyf, nb_real, s_real)
+    return codec, device_args, streams, host_meta
+
+
+def decompress(data: bytes, mesh=None) -> bytes:
+    codec, original_len, stream_size, lengths, off = parse_header(data)
+    if original_len == 0:
+        return b""
+    codec, device_args, streams, host_meta = decode_prep(data, mesh)
+    original_len, out_lens, copyf, nb_real, s_real = host_meta
+    out_words = _decode_batch(*device_args, codec)
     out_np = np.asarray(out_words.astype(jnp.uint16))
 
     parts = []
