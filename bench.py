@@ -77,7 +77,14 @@ def _device_encode_time(codec, data, stream_size, repeats=3, chain=8):
     import importlib
     mod = importlib.import_module(f"density_tpu.codecs.{codec}")
     words, nbytes = _stage_words(codec, data, stream_size)
-    fused = mod.PIPELINE.encode_fused
+    # pick the variant the dispatcher would pick (jit traces can't)
+    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    pallas = mod.PIPELINE.encode_fused_pallas
+    n_q = words.shape[1] // 2
+    if on_tpu and pallas is not None and n_q % 4096 == 0:
+        fused = pallas
+    else:
+        fused = mod.PIPELINE.encode_fused_xla
 
     @jax.jit
     def chained(words, nbytes):

@@ -89,9 +89,59 @@ def sig_pack(flags_2d):
     return (bits * weights).sum(axis=2)
 
 
+def plan_fast_pallas(words, nbytes, interpret=False):
+    """Batched copy-free planner on the Pallas bitonic sorter.
+
+    Same reformulation as classify_fast, but the hash-major order comes
+    from an in-VMEM sort by the lexicographic key (hash | segment,
+    index-within-segment) -- 34 bits split across two i32 keys -- and
+    the unsort routes the single map bit back packed into the unique
+    index key ((lidx << 1) | bit), one array instead of two.
+    """
+    from density_tpu.kernels import bitonic
+    S, capw = words.shape
+    n_q = capw // 2
+    quads = (words[:, 0:2 * n_q:2]
+             | (words[:, 1:2 * n_q:2] << 16)).astype(jnp.uint32)
+    h = hash_quads(quads).astype(jnp.int32)
+    seg_bits = max(0, (n_q - 1).bit_length() - 16)
+    lidx = jnp.arange(n_q, dtype=jnp.int32)[None, :]
+    p = (h << seg_bits) | (lidx >> 16)
+    s = jnp.broadcast_to(lidx & 0xFFFF, p.shape)
+    p_s, s_s, q_s = bitonic.sort(p, s, quads, n_keys=2,
+                                 interpret=interpret)
+    prev_p = jnp.pad(p_s[:, :-1], ((0, 0), (1, 0)), constant_values=-1)
+    prev_q = jnp.pad(q_s[:, :-1], ((0, 0), (1, 0)))
+    same = (prev_p >> seg_bits) == (p_s >> seg_bits)
+    # first-in-group sees the zero-initialized dictionary
+    is_map_s = jnp.where(same, q_s == prev_q, q_s == 0)
+    lidx_s = ((p_s & ((1 << seg_bits) - 1)) << 16) | s_s
+    packed = (lidx_s << 1) | is_map_s.astype(jnp.int32)
+    (up,) = bitonic.sort(packed, n_keys=1, interpret=interpret)
+    real = lidx < (nbytes[:, None] // 4)
+    is_map = ((up & 1) == 1) & real
+    flags = is_map.astype(jnp.int32)
+    pw = jnp.where(real, jnp.where(is_map, 1, 2), 0)
+    w0 = jnp.where(is_map, h.astype(jnp.uint32),
+                   quads & 0xFFFF).astype(jnp.uint32)
+    w1 = (quads >> 16).astype(jnp.uint32)
+    # per-block incompressibility bits (reference: codec.rs:68)
+    nb = n_q // Q
+    pbw = pw.reshape(S, nb, Q).sum(axis=2)
+    bidx = jnp.arange(nb, dtype=jnp.int32)[None, :]
+    ragged = (nbytes % 4)[:, None]
+    nbr = ((nbytes + BLOCK - 1) // BLOCK)[:, None]
+    enc_bytes = (2 * SIG_WORDS + 2 * pbw
+                 + jnp.where(bidx == nbr - 1, ragged, 0))
+    bits = enc_bytes >= BLOCK
+    return flags, pw, w0, w1, real, bits
+
+
 PIPELINE = layout.build_pipeline(Q=Q, SIG_WORDS=SIG_WORDS, BLOCK=BLOCK,
                                  classify=classify, sig_pack=sig_pack,
-                                 classify_fast=classify_fast)
+                                 classify_fast=classify_fast,
+                                 flag_bits=SPEC.flag_bits,
+                                 plan_fast_pallas=plan_fast_pallas)
 
 
 def encode(data: bytes | np.ndarray) -> bytes:

@@ -141,7 +141,8 @@ def sig_pack(flags_2d):
 
 PIPELINE = layout.build_pipeline(Q=Q, SIG_WORDS=SIG_WORDS, BLOCK=BLOCK,
                                  classify=classify, sig_pack=sig_pack,
-                                 classify_fast=classify_fast)
+                                 classify_fast=classify_fast,
+                                 flag_bits=SPEC.flag_bits)
 
 
 def encode(data: bytes | np.ndarray) -> bytes:

@@ -26,6 +26,8 @@ over a mesh makes them SPMD with zero collectives.
 from __future__ import annotations
 
 import dataclasses
+import functools
+import os
 from typing import Callable
 
 import jax
@@ -62,11 +64,16 @@ class EncodePipeline:
     plan_fast: Callable | None = None  # (words, nbytes) -> same, copy-free
     assemble_fast: Callable | None = None  # copy-free assembly
     encode_fused: Callable | None = None  # (words, nbytes) -> (out, tot, ok)
+    encode_fused_xla: Callable | None = None     # same, XLA assembly
+    encode_fused_pallas: Callable | None = None  # same, Pallas assembly
 
 
 def build_pipeline(*, Q: int, SIG_WORDS: int, BLOCK: int,
                    classify: Callable, sig_pack: Callable,
-                   classify_fast: Callable | None = None) -> EncodePipeline:
+                   classify_fast: Callable | None = None,
+                   flag_bits: int | None = None,
+                   plan_fast_pallas: Callable | None = None
+                   ) -> EncodePipeline:
     sig_bytes = 2 * SIG_WORDS
 
     def geometry(words, n_bytes):
@@ -207,6 +214,72 @@ def build_pipeline(*, Q: int, SIG_WORDS: int, BLOCK: int,
                                              w0, w1, valid)
         return out_words, total, ok
 
+    def fused_pallas_batched(words, nbytes, interpret=False):
+        """Batched fused fast path with Pallas pack assembly (TPU)."""
+        from density_tpu.kernels import pack as packmod
+        n_q = words.shape[1] // 2
+        pow2 = n_q >= 256 and (n_q & (n_q - 1)) == 0
+        if plan_fast_pallas is not None and pow2:
+            flags, pw, w0, w1, valid, bits = plan_fast_pallas(
+                words, nbytes, interpret=interpret)
+        else:
+            plan_b = (jax.vmap(plan_fast_one) if classify_fast is not None
+                      else jax.vmap(
+                          lambda w, n: plan_one(
+                              w, n, jnp.zeros(w.shape[0] // 2 // Q, bool))))
+            flags, pw, w0, w1, valid, bits = plan_b(words, nbytes)
+        ok = ~jnp.any(bits[:, 1:] & bits[:, :-1], axis=1)
+        # The pack kernel emits the ragged tail from the plan's w0/w1 at
+        # the partial-quad index, but classifiers may put a hash there
+        # (the padding quad can match dictionary state). Stamp in the
+        # raw input halfwords (reference: codec.rs:58-62 pushes the
+        # ragged remainder verbatim).
+        S = words.shape[0]
+        n_q = words.shape[1] // 2
+        fq = jnp.minimum(nbytes // 4, n_q - 1)
+        rows = jnp.arange(S)
+        ragged = nbytes % 4 > 0
+        raw0 = words[rows, 2 * fq].astype(w0.dtype)
+        raw1 = words[rows, 2 * fq + 1].astype(w1.dtype)
+        w0 = w0.at[rows, fq].set(jnp.where(ragged, raw0, w0[rows, fq]))
+        w1 = w1.at[rows, fq].set(jnp.where(ragged, raw1, w1[rows, fq]))
+        out_words = packmod.pack(
+            flags, pw, w0, w1, nbytes, q=Q, sig_words=SIG_WORDS,
+            block=BLOCK, flag_bits=flag_bits, interpret=interpret)
+        nbr = (nbytes + BLOCK - 1) // BLOCK
+        totals = (2 * jnp.sum(pw, axis=1) + nbr * sig_bytes
+                  + nbytes % 4).astype(jnp.int32)
+        return out_words, totals, ok
+
+    fused_xla = jax.jit(jax.vmap(fused_one))
+    fused_pallas = (jax.jit(functools.partial(fused_pallas_batched,
+                                              interpret=False))
+                    if flag_bits is not None else None)
+    fused_pallas_interp = (
+        jax.jit(functools.partial(fused_pallas_batched, interpret=True))
+        if flag_bits is not None else None)
+
+    def fused_dispatch(words, nbytes):
+        """Host-level dispatch: Pallas pack on a single TPU device when
+        the geometry allows, XLA assembly otherwise. (Jitted callers
+        must pick a variant explicitly.)"""
+        mode = os.environ.get("DENSITY_TPU_PALLAS", "auto")
+        from density_tpu.kernels import pack as packmod
+        n_q = words.shape[1] // 2
+        eligible = (fused_pallas is not None and mode != "0"
+                    and n_q % packmod.GQ == 0)
+        if eligible and mode == "interpret":
+            return fused_pallas_interp(words, nbytes)
+        if eligible:
+            try:
+                devs = words.devices()
+                plat = next(iter(devs)).platform
+            except Exception:
+                devs, plat = (), ""
+            if len(devs) == 1 and plat in ("tpu", "axon"):
+                return fused_pallas(words, nbytes)
+        return fused_xla(words, nbytes)
+
     return EncodePipeline(
         plan=jax.jit(jax.vmap(plan_one)),
         step_fsm=jax.jit(jax.vmap(fsm_one)),
@@ -217,7 +290,9 @@ def build_pipeline(*, Q: int, SIG_WORDS: int, BLOCK: int,
         plan_fast=(jax.jit(jax.vmap(plan_fast_one))
                    if classify_fast is not None else None),
         assemble_fast=jax.jit(jax.vmap(assemble_fast_one)),
-        encode_fused=jax.jit(jax.vmap(fused_one)))
+        encode_fused=fused_dispatch,
+        encode_fused_xla=fused_xla,
+        encode_fused_pallas=fused_pallas)
 
 
 def run_encode(pipe: EncodePipeline, words, nbytes):
