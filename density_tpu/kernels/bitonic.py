@@ -71,9 +71,12 @@ def _make_kernel(R: int, n_keys: int, n_vals: int, n_pass: int):
     n_arr = n_keys + n_vals
 
     def kernel(d_ref, k_ref, *refs):
+        # sort in place in the output blocks: no VMEM scratch (a
+        # scratch copy pushed the 2048-row x 3-operand case past the
+        # 16 MB scoped-vmem limit with pipeline double buffering)
         in_refs = refs[:n_arr]
         out_refs = refs[n_arr:2 * n_arr]
-        scr = refs[2 * n_arr:2 * n_arr + n_arr]
+        scr = [r.at[0] for r in out_refs]
 
         for a in range(n_arr):
             scr[a][...] = in_refs[a][0]
@@ -87,23 +90,29 @@ def _make_kernel(R: int, n_keys: int, n_vals: int, n_pass: int):
             arrs = [scr[a][...] for a in range(n_arr)]
             parts = [_butterfly(x, d, R) for x in arrs]
             k1, pk1 = arrs[0], parts[0]
+            # All mask logic stays in i32 (0/1): Mosaic's vector i1
+            # support is partial on real TPU (arith.trunci i8->i1 is
+            # rejected), so build selects from integer compares only.
             if n_keys == 2:
                 k2, pk2 = arrs[1], parts[1]
-                p_lt = (pk1 < k1) | ((pk1 == k1) & (pk2 < k2))
-                p_gt = (k1 < pk1) | ((k1 == pk1) & (k2 < pk2))
+                p_lt = ((pk1 < k1).astype(jnp.int32)
+                        | ((pk1 == k1).astype(jnp.int32)
+                           & (pk2 < k2).astype(jnp.int32)))
+                p_gt = ((k1 < pk1).astype(jnp.int32)
+                        | ((k1 == pk1).astype(jnp.int32)
+                           & (k2 < pk2).astype(jnp.int32)))
             else:
-                p_lt = pk1 < k1
-                p_gt = k1 < pk1
-            is_lower = (iota & d) == 0
-            dirup = (iota & kb) == 0
-            take = jnp.where(dirup ^ is_lower, p_gt, p_lt)
+                p_lt = (pk1 < k1).astype(jnp.int32)
+                p_gt = (k1 < pk1).astype(jnp.int32)
+            is_lower = ((iota & d) == 0).astype(jnp.int32)
+            dirup = ((iota & kb) == 0).astype(jnp.int32)
+            sel_gt = dirup ^ is_lower           # i32 0/1
+            take = (sel_gt * p_gt + (1 - sel_gt) * p_lt) == 1
             for a in range(n_arr):
                 scr[a][...] = jnp.where(take, parts[a], arrs[a])
             return 0
 
         jax.lax.fori_loop(0, n_pass, body, 0)
-        for a in range(n_arr):
-            out_refs[a][0] = scr[a][...]
 
     return kernel
 
@@ -129,7 +138,11 @@ def sort(*arrays, n_keys: int = 1, interpret: bool = False):
             pl.BlockSpec((1, R, 128), lambda s: (s, 0, 0))] * n_arr,
         out_specs=[pl.BlockSpec((1, R, 128), lambda s: (s, 0, 0))] * n_arr,
         out_shape=[jax.ShapeDtypeStruct((S, R, 128), jnp.int32)] * n_arr,
-        scratch_shapes=[pltpu.VMEM((R, 128), jnp.int32)] * n_arr,
+        # 3-operand 2048-row streams need ~20 MB with pipeline double
+        # buffering; v5e cores have 128 MB VMEM, the 16 MB scoped
+        # default is just conservative
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(jnp.asarray(ds), jnp.asarray(ks),
       *[a.astype(jnp.int32).reshape(S, R, 128) for a in arrays])
