@@ -20,6 +20,7 @@ reference's published single-core 2.156 GB/s.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -147,11 +148,27 @@ def main():
 
     results = {}
     stream_size = 1 << 20
+    # Soft budget: cheetah/lion decode compiles are minutes-long on a
+    # cold cache behind the tunnel; the headline (chameleon, first) must
+    # always reach the JSON line even if the driver's clock runs short.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1200"))
+    t_start = time.perf_counter()
     for codec in ["chameleon", "cheetah", "lion"]:
+        if codec != "chameleon" and (
+                time.perf_counter() - t_start > budget_s):
+            print(f"[bench] skipping {codec}: over {budget_s:.0f}s budget",
+                  file=sys.stderr)
+            continue
         ref_ratio = n / len(native.encode(codec, data))
 
-        blob = container.compress(data, codec, stream_size=stream_size)
-        dec = container.decompress(blob)
+        try:
+            blob = container.compress(data, codec, stream_size=stream_size)
+            dec = container.decompress(blob)
+        except Exception as e:  # noqa: BLE001 -- keep the headline alive
+            if codec == "chameleon":
+                raise
+            print(f"[bench] {codec} failed: {e!r}", file=sys.stderr)
+            continue
         assert dec == data, f"{codec} round-trip failed"
         ratio = n / len(blob)
 
