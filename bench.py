@@ -78,11 +78,16 @@ def _device_encode_time(codec, data, stream_size, repeats=3, chain=8):
     import importlib
     mod = importlib.import_module(f"density_tpu.codecs.{codec}")
     words, nbytes = _stage_words(codec, data, stream_size)
-    # pick the variant the dispatcher would pick (jit traces can't)
+    # pick the variant the dispatcher would pick (jit traces can't):
+    # Pallas only where the whole plan is Pallas (see layout.
+    # fused_dispatch -- the XLA-plan+Pallas-pack combo stalls the
+    # remote AOT compiler for cheetah/lion)
     on_tpu = jax.devices()[0].platform in ("tpu", "axon")
     pallas = mod.PIPELINE.encode_fused_pallas
+    full_pallas_plan = getattr(mod, "plan_fast_pallas", None) is not None
     n_q = words.shape[1] // 2
-    if on_tpu and pallas is not None and n_q % 4096 == 0:
+    if on_tpu and pallas is not None and full_pallas_plan \
+            and n_q % 4096 == 0:
         fused = pallas
     else:
         fused = mod.PIPELINE.encode_fused_xla

@@ -270,7 +270,12 @@ def build_pipeline(*, Q: int, SIG_WORDS: int, BLOCK: int,
                     and n_q % packmod.GQ == 0)
         if eligible and mode == "interpret":
             return fused_pallas_interp(words, nbytes)
-        if eligible:
+        # On hardware, only take the Pallas variant when the WHOLE plan
+        # is Pallas (chameleon): shipping the vmapped XLA sort planner
+        # + pack kernel as one remote AOT compile stalled the v5e
+        # toolchain for cheetah/lion in round 1. Force with
+        # DENSITY_TPU_PALLAS=1 to re-test.
+        if eligible and (plan_fast_pallas is not None or mode == "1"):
             try:
                 devs = words.devices()
                 plat = next(iter(devs)).platform
