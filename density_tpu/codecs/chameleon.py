@@ -104,18 +104,37 @@ def plan_fast_pallas(words, nbytes, interpret=False):
     quads = (words[:, 0:2 * n_q:2]
              | (words[:, 1:2 * n_q:2] << 16)).astype(jnp.uint32)
     h = hash_quads(quads).astype(jnp.int32)
-    seg_bits = max(0, (n_q - 1).bit_length() - 16)
     lidx = jnp.arange(n_q, dtype=jnp.int32)[None, :]
-    p = (h << seg_bits) | (lidx >> 16)
-    s = jnp.broadcast_to(lidx & 0xFFFF, p.shape)
-    p_s, s_s, q_s = bitonic.sort(p, s, quads, n_keys=2,
-                                 interpret=interpret)
-    prev_p = jnp.pad(p_s[:, :-1], ((0, 0), (1, 0)), constant_values=-1)
-    prev_q = jnp.pad(q_s[:, :-1], ((0, 0), (1, 0)))
-    same = (prev_p >> seg_bits) == (p_s >> seg_bits)
+    if n_q <= (1 << 16):
+        # (hash | index) fits one u32 exactly; sort it as i32 with the
+        # sign-bit-xor bias (signed order of k^0x80000000 == unsigned
+        # order of k). Single-key 2-operand sort: 11.3 ms vs 22.6 ms
+        # for the 2-key 3-operand network at the same total bytes.
+        bias = jnp.int32(-2**31)
+        key = (((h.astype(jnp.uint32) << 16)
+                | lidx.astype(jnp.uint32)).astype(jnp.int32) ^ bias)
+        k_s, q_s = bitonic.sort(key, quads, n_keys=1,
+                                interpret=interpret)
+        u_s = (k_s ^ bias).astype(jnp.uint32)
+        h_grp = (u_s >> 16).astype(jnp.int32)
+        lidx_s = (u_s & 0xFFFF).astype(jnp.int32)
+        prev_h = jnp.pad(h_grp[:, :-1], ((0, 0), (1, 0)),
+                         constant_values=-1)
+        same = prev_h == h_grp
+        prev_q = jnp.pad(q_s[:, :-1], ((0, 0), (1, 0)))
+    else:
+        seg_bits = (n_q - 1).bit_length() - 16
+        p = (h << seg_bits) | (lidx >> 16)
+        s = jnp.broadcast_to(lidx & 0xFFFF, p.shape)
+        p_s, s_s, q_s = bitonic.sort(p, s, quads, n_keys=2,
+                                     interpret=interpret)
+        prev_p = jnp.pad(p_s[:, :-1], ((0, 0), (1, 0)),
+                         constant_values=-1)
+        prev_q = jnp.pad(q_s[:, :-1], ((0, 0), (1, 0)))
+        same = (prev_p >> seg_bits) == (p_s >> seg_bits)
+        lidx_s = ((p_s & ((1 << seg_bits) - 1)) << 16) | s_s
     # first-in-group sees the zero-initialized dictionary
     is_map_s = jnp.where(same, q_s == prev_q, q_s == 0)
-    lidx_s = ((p_s & ((1 << seg_bits) - 1)) << 16) | s_s
     packed = (lidx_s << 1) | is_map_s.astype(jnp.int32)
     (up,) = bitonic.sort(packed, n_keys=1, interpret=interpret)
     real = lidx < (nbytes[:, None] // 4)
