@@ -48,11 +48,11 @@ def main():
     for s in range(S):
         c = buf[s * stream_size:(s + 1) * stream_size]
         v[s, :c.size] = c
-    words = jnp.asarray(v.view("<u2").astype(np.uint32).reshape(S, cap // 2))
+    words = jnp.asarray(v.view("<u4").reshape(S, cap // 4))
     nbytes = jnp.asarray(np.clip(n - np.arange(S) * stream_size, 0,
                                  stream_size).astype(np.int32))
     pipe = chameleon.PIPELINE
-    nb = cap // 2 // 2 // chameleon.Q
+    nb = cap // 4 // chameleon.Q
     copy0 = jnp.zeros((S, nb), dtype=bool)
 
     print("compiling plan...", file=sys.stderr)

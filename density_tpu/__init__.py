@@ -14,8 +14,9 @@ _cache_dir = os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 import jax  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+if _cache_dir:  # empty = explicitly disabled (tests run hermetic)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from density_tpu.api import (  # noqa: E402,F401
     encode_raw, decode_raw, safe_encode_buffer_size)

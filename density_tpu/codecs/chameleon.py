@@ -89,7 +89,17 @@ def sig_pack(flags_2d):
     return (bits * weights).sum(axis=2)
 
 
-def plan_fast_pallas(words, nbytes, interpret=False):
+def _sort_mod():
+    """Pallas sort kernel choice (trace-time): the segmented bigsort
+    compiles in seconds at any stream size; the monolithic bitonic is
+    kept selectable for comparison (DENSITY_TPU_SORT=bitonic)."""
+    import os
+    from density_tpu.kernels import bigsort, bitonic
+    return (bitonic if os.environ.get("DENSITY_TPU_SORT") == "bitonic"
+            else bigsort)
+
+
+def plan_fast_pallas(quads, nbytes, interpret=False):
     """Batched copy-free planner on the Pallas bitonic sorter.
 
     Same reformulation as classify_fast, but the hash-major order comes
@@ -98,11 +108,9 @@ def plan_fast_pallas(words, nbytes, interpret=False):
     the unsort routes the single map bit back packed into the unique
     index key ((lidx << 1) | bit), one array instead of two.
     """
-    from density_tpu.kernels import bitonic
-    S, capw = words.shape
-    n_q = capw // 2
-    quads = (words[:, 0:2 * n_q:2]
-             | (words[:, 1:2 * n_q:2] << 16)).astype(jnp.uint32)
+    bitonic = _sort_mod()
+    S, n_q = quads.shape
+    quads = quads.astype(jnp.uint32)
     h = hash_quads(quads).astype(jnp.int32)
     lidx = jnp.arange(n_q, dtype=jnp.int32)[None, :]
     if n_q <= (1 << 16):

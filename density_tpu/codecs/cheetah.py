@@ -35,6 +35,8 @@ TPU-native reformulation of the encoder (NOT a port):
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -42,7 +44,9 @@ import numpy as np
 from density_tpu.constants import CHEETAH as SPEC
 from density_tpu.engine.grouping import (
     hash_quads, prev_valid_value_in_group, mru2_state_in_group,
-    sort_with, unsort_with, shift_right, seg_mtf2_before)
+    sort_with, unsort_with, shift_right, seg_mtf2_before,
+    seg_sel2_before, seg_last_active_before, ctx_fill,
+    OP_ID, OP_SWAP, OP_INS)
 from density_tpu.engine import layout
 from density_tpu.engine.layout import TokenPlan
 
@@ -190,6 +194,83 @@ def _extract_tokens(words, in_word_off, is_copy, n_blocks_real, out_len):
     return flags, w0, w1, valid
 
 
+@functools.partial(jax.jit, static_argnames=("max_rounds",))
+def _resolve_parallel(flags, w0, w1, valid, max_rounds=12):
+    """Parallel value resolution (no per-quad scan).
+
+    Two exact facts make this possible (reference: cheetah.rs:68-103):
+
+      1. The dictionary chain never involves predicted tokens, and
+         every non-predicted token's hash group is known from the wire
+         (plain: hash of its payload quad; mapA/mapB: the payload
+         hash). The per-group state evolution is flag-driven -- plain
+         inserts a known constant, mapA reads, mapB swaps -- a closed
+         selection monoid, so ALL plain/mapA/mapB values resolve in
+         ONE segmented associative scan. No speculation.
+
+      2. A predicted token's value is the value of the latest token in
+         its context group before it, which telescopes to the latest
+         NON-predicted value in the group (predicted tokens copy it
+         forward). Given correct context assignments (ctx_i = hash of
+         quad_{i-1}), all predicted values resolve in one more pass.
+         Contexts are only unknown after predicted tokens, so the pass
+         iterates: any fixpoint is the unique correct solution (strong
+         induction: the first wrong position is forced correct by its
+         own equation, which reads only earlier positions).
+
+    Returns (quads, converged). Non-converged streams (adversarial
+    chains deeper than max_rounds) fall back to the sequential scan.
+    """
+    n_q = flags.shape[0]
+    idx = jnp.arange(n_q, dtype=jnp.int32)
+    plain_quad = (w0 | (w1 << 16)).astype(jnp.uint32)
+    is_pred = (flags == FLAG_PRED) & valid
+    nonpred = valid & ~is_pred
+    is_plain = (flags == FLAG_PLAIN) & valid
+
+    # --- dictionary chain: exact, one pass ---------------------------
+    h_dict = jnp.where(is_plain, hash_quads(plain_quad).astype(jnp.int32),
+                       w0.astype(jnp.int32))
+    key = jnp.where(nonpred, h_dict, jnp.int32(1 << 16))
+    op = jnp.where(is_plain, OP_INS,
+                   jnp.where((flags == FLAG_MAP_B) & valid, OP_SWAP,
+                             OP_ID))
+    op = jnp.where(nonpred, op, OP_ID)
+    k_s, idx_s, op_s, cv_s, fl_s = sort_with(
+        key, idx, op, plain_quad.astype(jnp.int32), flags)
+    first = k_s != shift_right(k_s, jnp.int32(-1))
+    a_b, b_b = seg_sel2_before(first, op_s, cv_s.astype(jnp.uint32))
+    val_s = jnp.where(fl_s == FLAG_MAP_A, a_b,
+                      jnp.where(fl_s == FLAG_MAP_B, b_b,
+                                cv_s.astype(jnp.uint32)))
+    dict_vals = unsort_with(idx_s, val_s)
+    quads0 = jnp.where(nonpred, dict_vals, 0).astype(jnp.uint32)
+
+    # --- context fixpoint for predicted tokens -----------------------
+    np_i = nonpred.astype(jnp.int32)
+
+    def body(carry):
+        quads, _, it = carry
+        ctx = ctx_fill(hash_quads(quads), valid)
+        ckey = jnp.where(valid, ctx.astype(jnp.int32), jnp.int32(1 << 16))
+        ck_s, cidx_s, q_s, np_s = sort_with(
+            ckey, idx, quads.astype(jnp.int32), np_i)
+        cfirst = ck_s != shift_right(ck_s, jnp.int32(-1))
+        fill, _ = seg_last_active_before(cfirst, q_s, np_s == 1)
+        pred_new = unsort_with(cidx_s, fill).astype(jnp.uint32)
+        new_quads = jnp.where(is_pred, pred_new, quads)
+        changed = jnp.any((new_quads != quads) & is_pred)
+        return new_quads, changed, it + 1
+
+    def cond(carry):
+        _, changed, it = carry
+        return changed & (it < max_rounds)
+
+    quads, changed, _ = jax.lax.while_loop(
+        cond, body, (quads0, jnp.bool_(True), jnp.int32(0)))
+    return quads, ~changed
+
+
 @jax.jit
 def _resolve_scan(flags, w0, w1, valid):
     """Serial value resolution (state tables as scan carry)."""
@@ -283,7 +364,11 @@ def decode(data: bytes, decoded_size_hint: int | None = None) -> bytes:
     jc = jnp.asarray(copy_pad)
     flags, w0, w1, valid = _extract_tokens(jw, jo, jc, jnp.int32(nb),
                                            jnp.int32(out_len))
-    quads = _resolve_scan(flags, w0, w1, valid)
+    quads, ok = _resolve_parallel(flags, w0, w1, valid)
+    if not bool(ok):
+        # deep prediction chains: the context fixpoint exceeded its
+        # round cap -- exact native redecode (~GB/s host)
+        return native.decode("cheetah", data, decoded_size_hint=out_len)
     out_words = _assemble(quads, valid, jw, jo, jc, jnp.int32(nb),
                           jnp.int32(out_len))
     out = np.asarray(out_words[: (out_len + 1) // 2]).astype("<u2").tobytes()

@@ -32,6 +32,8 @@ TPU-native reformulation of the encoder (NOT a port):
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -39,7 +41,8 @@ import numpy as np
 from density_tpu.constants import LION as SPEC
 from density_tpu.engine.grouping import (
     hash_quads, mru2_state_in_group, sort_with, unsort_with, shift_right,
-    seg_mtf2_before)
+    seg_mtf2_before, seg_sel2_before, seg_selq_before, ctx_fill,
+    OP_ID, OP_SWAP, OP_INS)
 from density_tpu.engine.mtf import mtf_depths_in_group, mtf_depths_sorted
 from density_tpu.engine import layout
 from density_tpu.engine.layout import TokenPlan
@@ -209,6 +212,76 @@ def _extract_tokens(words, in_word_off, is_copy, n_blocks_real, out_len):
     return flags, w0, w1, valid
 
 
+@functools.partial(jax.jit, static_argnames=("max_rounds",))
+def _resolve_parallel(flags, w0, w1, valid, max_rounds=12):
+    """Parallel value resolution (see cheetah._resolve_parallel for the
+    two exact facts; reference: lion.rs:88-186).
+
+    Lion differences: the per-context state is the 5-deep prediction
+    queue instead of a single slot -- but its decode-side ops are
+    flag-driven selections too (non-predicted: shift-insert a KNOWN
+    value; predicted at depth d: promote slot d, reading it), so given
+    context assignments every predicted value still resolves in one
+    segmented associative scan of the 5-slot selection monoid
+    (grouping.seg_selq_before). The context fixpoint is identical.
+
+    Returns (quads, converged).
+    """
+    n_q = flags.shape[0]
+    idx = jnp.arange(n_q, dtype=jnp.int32)
+    plain_quad = (w0 | (w1 << 16)).astype(jnp.uint32)
+    is_pred = (flags >= FLAG_PRED_A) & (flags <= K) & valid
+    nonpred = valid & ~is_pred
+    is_plain = (flags == FLAG_PLAIN) & valid
+
+    # --- dictionary chain: exact, one pass ---------------------------
+    h_dict = jnp.where(is_plain, hash_quads(plain_quad).astype(jnp.int32),
+                       w0.astype(jnp.int32))
+    key = jnp.where(nonpred, h_dict, jnp.int32(1 << 16))
+    op = jnp.where(is_plain, OP_INS,
+                   jnp.where((flags == FLAG_MAP_B) & valid, OP_SWAP,
+                             OP_ID))
+    op = jnp.where(nonpred, op, OP_ID)
+    k_s, idx_s, op_s, cv_s, fl_s = sort_with(
+        key, idx, op, plain_quad.astype(jnp.int32), flags)
+    first = k_s != shift_right(k_s, jnp.int32(-1))
+    a_b, b_b = seg_sel2_before(first, op_s, cv_s.astype(jnp.uint32))
+    val_s = jnp.where(fl_s == FLAG_MAP_A, a_b,
+                      jnp.where(fl_s == FLAG_MAP_B, b_b,
+                                cv_s.astype(jnp.uint32)))
+    dict_vals = unsort_with(idx_s, val_s)
+    quads0 = jnp.where(nonpred, dict_vals, 0).astype(jnp.uint32)
+
+    # --- context fixpoint over the 5-slot queues ---------------------
+    kind = jnp.where(nonpred, OP_INS, jnp.where(is_pred, OP_SWAP, OP_ID))
+    depth = jnp.clip(flags - 1, 0, K - 1)
+    slot = jnp.arange(K, dtype=jnp.int32)[None, :]
+
+    def body(carry):
+        quads, _, it = carry
+        ctx = ctx_fill(hash_quads(quads), valid)
+        ckey = jnp.where(valid, ctx.astype(jnp.int32), jnp.int32(1 << 16))
+        ck_s, cidx_s, q_s, kind_s, d_s = sort_with(
+            ckey, idx, quads.astype(jnp.int32), kind, depth)
+        cfirst = ck_s != shift_right(ck_s, jnp.int32(-1))
+        before = seg_selq_before(cfirst, kind_s,
+                                 jnp.where(kind_s == OP_INS, 0, d_s),
+                                 q_s.astype(jnp.uint32), K)
+        read_s = (before * (slot == d_s[:, None])).sum(axis=1)
+        pred_new = unsort_with(cidx_s, read_s).astype(jnp.uint32)
+        new_quads = jnp.where(is_pred, pred_new, quads)
+        changed = jnp.any((new_quads != quads) & is_pred)
+        return new_quads, changed, it + 1
+
+    def cond(carry):
+        _, changed, it = carry
+        return changed & (it < max_rounds)
+
+    quads, changed, _ = jax.lax.while_loop(
+        cond, body, (quads0, jnp.bool_(True), jnp.int32(0)))
+    return quads, ~changed
+
+
 @jax.jit
 def _resolve_scan(flags, w0, w1, valid):
     tbl = 1 << 16
@@ -305,7 +378,11 @@ def decode(data: bytes, decoded_size_hint: int | None = None) -> bytes:
     jc = jnp.asarray(copy_pad)
     flags, w0, w1, valid = _extract_tokens(jw, jo, jc, jnp.int32(nb),
                                            jnp.int32(out_len))
-    quads = _resolve_scan(flags, w0, w1, valid)
+    quads, ok = _resolve_parallel(flags, w0, w1, valid)
+    if not bool(ok):
+        # deep prediction chains: the context fixpoint exceeded its
+        # round cap -- exact native redecode (~GB/s host)
+        return native.decode("lion", data, decoded_size_hint=out_len)
     out_words = _assemble(quads, valid, jw, jo, jc, jnp.int32(nb),
                           jnp.int32(out_len))
     out = np.asarray(out_words[: (out_len + 1) // 2]).astype("<u2").tobytes()

@@ -131,6 +131,133 @@ def seg_mtf2_before(first, vals, active):
     return front, second
 
 
+OP_ID, OP_SWAP, OP_INS = 0, 1, 2
+
+
+def seg_sel2_before(first, op, cval):
+    """Sorted-domain MTF-2 state BEFORE each position from *flag-driven*
+    ops (decode side): OP_INS inserts the constant `cval` ((a,b) <-
+    (c, a)), OP_SWAP swaps ((a,b) <- (b, a)), OP_ID leaves the state.
+    Segments reset to the zero-initialized state at `first`.
+
+    This is the decoder's dictionary chain (reference: cheetah.rs:68-103,
+    lion.rs:88-124): plain = OP_INS(payload quad), mapA = OP_ID,
+    mapB = OP_SWAP -- unlike the encoder's value-driven MTF the ops are
+    known from the wire flags, so the whole per-hash-group chain is one
+    associative scan of selection maps (src in {A=0, B=1, const=2}).
+
+    Returns (a_before, b_before) uint32.
+    """
+    cval = cval.astype(jnp.uint32)
+    # element = composed map (srcA, cA, srcB, cB): out_a = [a,b,cA][srcA]
+    sa = jnp.where(op == OP_INS, 2, jnp.where(op == OP_SWAP, 1, 0))
+    sb = jnp.where(op == OP_INS, 0, jnp.where(op == OP_SWAP, 0, 1))
+    ca = jnp.where(op == OP_INS, cval, 0)
+    cb = jnp.zeros_like(cval)
+    # segment starts compose with the zero-init state: any input
+    # selector resolves to const 0
+    ca = jnp.where(first & (sa != 2), 0, ca)
+    sa = jnp.where(first, 2, sa)
+    cb = jnp.where(first & (sb != 2), 0, cb)
+    sb = jnp.where(first, 2, sb)
+
+    def resolve(e_src, e_cst, l_src, l_cst):
+        """Resolve a later selector through the earlier map."""
+        src = jnp.where(l_src == 2, 2,
+                        jnp.where(l_src == 0, e_src[0], e_src[1]))
+        cst = jnp.where(l_src == 2, l_cst,
+                        jnp.where(l_src == 0, e_cst[0], e_cst[1]))
+        return src, cst
+
+    def combine(a, b):
+        asa, aca, asb, acb, sta = a
+        bsa, bca, bsb, bcb, stb = b
+        osa, oca = resolve((asa, asb), (aca, acb), bsa, bca)
+        osb, ocb = resolve((asa, asb), (aca, acb), bsb, bcb)
+        osa = jnp.where(stb, bsa, osa)
+        oca = jnp.where(stb, bca, oca)
+        osb = jnp.where(stb, bsb, osb)
+        ocb = jnp.where(stb, bcb, ocb)
+        return osa, oca, osb, ocb, sta | stb
+
+    isa, ica, isb, icb, _ = jax.lax.associative_scan(
+        combine, (sa, ca, sb, cb, first))
+    # state after prefix applied to zero-init: const if resolved, else 0
+    a_inc = jnp.where(isa == 2, ica, 0)
+    b_inc = jnp.where(isb == 2, icb, 0)
+    a_before = jnp.where(first, 0, shift_right(a_inc, 0))
+    b_before = jnp.where(first, 0, shift_right(b_inc, 0))
+    return a_before, b_before
+
+
+def seg_selq_before(first, kind, depth, cval, K: int):
+    """Sorted-domain K-slot prediction-queue state BEFORE each position
+    from flag-driven ops (lion decode; reference lion.rs:50-57,126-186):
+
+      kind == OP_INS:  shift-insert the constant `cval` at slot 0
+                       (q <- [c, q0, .., q_{K-2}]; no dedup)
+      kind == OP_SWAP: promote slot `depth` to the front
+                       (q <- [q_d, q0, .., q_{d-1}, q_{d+1}, ..])
+      kind == OP_ID:   leave the queue (invalid positions)
+
+    Segments reset to the zero-initialized queue at `first`.
+    Returns slots_before: (n, K) uint32.
+    """
+    n = kind.shape[0]
+    cval = cval.astype(jnp.uint32)
+    slot = jnp.arange(K, dtype=jnp.int32)[None, :]
+    d = depth[:, None]
+    # element = selection map per output slot: src in [0..K-1] input
+    # slot, or K = const
+    src_ins = jnp.where(slot == 0, K, slot - 1)
+    src_pro = jnp.where(slot == 0, d,
+                        jnp.where(slot <= d, slot - 1, slot))
+    src = jnp.where((kind == OP_INS)[:, None], src_ins,
+                    jnp.where((kind == OP_SWAP)[:, None], src_pro, slot))
+    cst = jnp.where((kind == OP_INS)[:, None] & (slot == 0),
+                    cval[:, None], 0)
+    # segment starts: unresolved selectors become const 0
+    cst = jnp.where(first[:, None] & (src != K), 0, cst)
+    src = jnp.where(first[:, None], K, src)
+
+    def combine(a, b):
+        asrc, acst, sta = a
+        bsrc, bcst, stb = b
+        # resolve b's selectors through a: (n, K, K) one-hot of b.src
+        # over input slots, contracted against a's maps
+        oh = (bsrc[..., :, None]
+              == jnp.arange(K, dtype=jnp.int32)).astype(jnp.int32)
+        osrc = (oh * asrc[..., None, :]).sum(-1)
+        ocst = (oh.astype(acst.dtype) * acst[..., None, :]).sum(-1)
+        isc = bsrc == K
+        osrc = jnp.where(isc, K, osrc)
+        ocst = jnp.where(isc, bcst, ocst.astype(bcst.dtype))
+        osrc = jnp.where(stb[..., None], bsrc, osrc)
+        ocst = jnp.where(stb[..., None], bcst, ocst)
+        return osrc, ocst, sta | stb
+
+    isrc, icst, _ = jax.lax.associative_scan(combine, (src, cst, first))
+    inc = jnp.where(isrc == K, icst, 0)
+    before = jnp.where(first[:, None], 0,
+                       jnp.concatenate([jnp.zeros((1, K), inc.dtype),
+                                        inc[:-1]], axis=0))
+    return before
+
+
+def ctx_fill(h, valid):
+    """Dense last_hash chain: hash of the latest valid position strictly
+    before i, 0 if none (reference: cheetah.rs:148, lion.rs:269).
+    Gather-free (associative keep-right-if-set scan)."""
+    x = jnp.where(valid, h.astype(jnp.int32), -1)
+
+    def combine(a, b):
+        return jnp.where(b < 0, a, b)
+
+    filled = jax.lax.associative_scan(combine, x)
+    prev = shift_right(filled, jnp.int32(-1))
+    return jnp.where(prev < 0, 0, prev).astype(jnp.uint32)
+
+
 def prev_valid_value_in_group(group: jax.Array, values: jax.Array,
                               valid: jax.Array, fill: int = 0):
     """For each position i: the value of the latest position j < i with

@@ -76,13 +76,16 @@ def build_pipeline(*, Q: int, SIG_WORDS: int, BLOCK: int,
                    ) -> EncodePipeline:
     sig_bytes = 2 * SIG_WORDS
 
-    def geometry(words, n_bytes):
-        cap_words = words.shape[0]
-        n_q = cap_words // 2
+    def geometry(quads, n_bytes):
+        # encode-side staging is u32 quads (little-endian view of the
+        # input bytes): no strided u16 de-interleave anywhere -- a
+        # words[0::2] | words[1::2] relayout cost ~25 ms for 10 MB on
+        # v5e, dwarfing the actual planning math.
+        n_q = quads.shape[0]
         nb = n_q // Q
         full_quads = n_bytes // 4
         n_blocks_real = (n_bytes + BLOCK - 1) // BLOCK
-        return cap_words, n_q, nb, full_quads, n_blocks_real
+        return 2 * n_q, n_q, nb, full_quads, n_blocks_real
 
     def _finish_plan(p, n_bytes, nb, n_blocks_real):
         per_block_words = p.payload_words.reshape(nb, Q).sum(axis=1)
@@ -93,24 +96,22 @@ def build_pipeline(*, Q: int, SIG_WORDS: int, BLOCK: int,
         bits = enc_bytes >= BLOCK
         return p.flags, p.payload_words, p.w0, p.w1, p.valid, bits
 
-    def plan_one(words, n_bytes, copy):
+    def plan_one(quads, n_bytes, copy):
         cap_words, n_q, nb, full_quads, n_blocks_real = geometry(
-            words, n_bytes)
-        quads = (words[0:2 * n_q:2]
-                 | (words[1:2 * n_q:2] << 16)).astype(jnp.uint32)
+            quads, n_bytes)
+        quads = quads.astype(jnp.uint32)
         hashes = hash_quads(quads)
         real = jnp.arange(n_q, dtype=jnp.int32) < full_quads
         p = classify(quads, hashes, real, copy)
         return _finish_plan(p, n_bytes, nb, n_blocks_real)
 
-    def plan_fast_one(words, n_bytes):
+    def plan_fast_one(quads, n_bytes):
         """Copy-free hot path: no masking anywhere (valid == real, and
         padding quads provably sort behind every real quad in their
         hash group), so group-prev becomes a dense shift."""
         cap_words, n_q, nb, full_quads, n_blocks_real = geometry(
-            words, n_bytes)
-        quads = (words[0:2 * n_q:2]
-                 | (words[1:2 * n_q:2] << 16)).astype(jnp.uint32)
+            quads, n_bytes)
+        quads = quads.astype(jnp.uint32)
         hashes = hash_quads(quads)
         real = jnp.arange(n_q, dtype=jnp.int32) < full_quads
         p = classify_fast(quads, hashes, real)
@@ -121,10 +122,11 @@ def build_pipeline(*, Q: int, SIG_WORDS: int, BLOCK: int,
         n_blocks_real = (n_bytes + BLOCK - 1) // BLOCK
         return replay_fsm(bits) & (jnp.arange(nb) < n_blocks_real)
 
-    def assemble_one(words, n_bytes, copy, flags, payload_words, w0, w1,
+    def assemble_one(quads, n_bytes, copy, flags, payload_words, w0, w1,
                      valid, with_copy=True):
         cap_words, n_q, nb, full_quads, n_blocks_real = geometry(
-            words, n_bytes)
+            quads, n_bytes)
+        quads = quads.astype(jnp.uint32)
         bidx = jnp.arange(nb, dtype=jnp.int32)
         ragged = n_bytes % 4
         last_real = n_blocks_real - 1
@@ -163,15 +165,17 @@ def build_pipeline(*, Q: int, SIG_WORDS: int, BLOCK: int,
 
         lr = jnp.clip(last_real, 0, nb - 1)
         last_is_copy = copy[lr]
-        rag_src = full_quads * 2 + jnp.arange(2)
+        rag_quad = quads[jnp.clip(full_quads, 0, n_q - 1)]
+        rag_val = jnp.stack([rag_quad & 0xFFFF, rag_quad >> 16])
         rag_pos = word_off[lr] + (enc_bytes[lr] - ragged) // 2 + jnp.arange(2)
         rag_valid = ((~last_is_copy) & (jnp.arange(2) * 2 < ragged)
                      & (n_blocks_real > 0))
         rag_idx = jnp.where(rag_valid, rag_pos, oob)
-        out_words = out_words.at[rag_idx].set(
-            words[jnp.clip(rag_src, 0, cap_words - 1)], mode="drop")
+        out_words = out_words.at[rag_idx].set(rag_val, mode="drop")
 
         if with_copy:
+            # copy-block u16 source words come straight out of the
+            # staged quads (word j = half (j & 1) of quad j // 2)
             w_per_block = BLOCK // 2
             j = jnp.arange(w_per_block)[None, :]
             copy_src = bidx[:, None] * w_per_block + j
@@ -180,19 +184,21 @@ def build_pipeline(*, Q: int, SIG_WORDS: int, BLOCK: int,
             copy_mask = ((copy & is_real_block)[:, None]
                          & (j < blen_words[:, None]))
             copy_idx = jnp.where(copy_mask, copy_dst, oob)
+            src_q = quads[jnp.clip(copy_src // 2, 0, n_q - 1)]
+            src_w = jnp.where((copy_src & 1) == 0, src_q & 0xFFFF,
+                              src_q >> 16)
             out_words = out_words.at[copy_idx.reshape(-1)].set(
-                words[jnp.clip(copy_src, 0, cap_words - 1)].reshape(-1),
-                mode="drop")
+                src_w.reshape(-1), mode="drop")
 
         return out_words, total_bytes
 
-    def assemble_fast_one(words, n_bytes, flags, payload_words, w0, w1,
+    def assemble_fast_one(quads, n_bytes, flags, payload_words, w0, w1,
                           valid):
-        nb = words.shape[0] // 2 // Q
-        return assemble_one(words, n_bytes, jnp.zeros(nb, bool), flags,
+        nb = quads.shape[0] // Q
+        return assemble_one(quads, n_bytes, jnp.zeros(nb, bool), flags,
                             payload_words, w0, w1, valid, with_copy=False)
 
-    def fused_one(words, n_bytes):
+    def fused_one(quads, n_bytes):
         """Single-dispatch fast path: copy-free plan + assembly, plus an
         exact no-copy certificate.
 
@@ -204,43 +210,44 @@ def build_pipeline(*, Q: int, SIG_WORDS: int, BLOCK: int,
         the general host-driven fixed point.
         """
         if classify_fast is not None:
-            flags, pw, w0, w1, valid, bits = plan_fast_one(words, n_bytes)
+            flags, pw, w0, w1, valid, bits = plan_fast_one(quads, n_bytes)
         else:
-            nb = words.shape[0] // 2 // Q
+            nb = quads.shape[0] // Q
             flags, pw, w0, w1, valid, bits = plan_one(
-                words, n_bytes, jnp.zeros(nb, bool))
+                quads, n_bytes, jnp.zeros(nb, bool))
         ok = ~jnp.any(bits[1:] & bits[:-1])
-        out_words, total = assemble_fast_one(words, n_bytes, flags, pw,
+        out_words, total = assemble_fast_one(quads, n_bytes, flags, pw,
                                              w0, w1, valid)
         return out_words, total, ok
 
-    def fused_pallas_batched(words, nbytes, interpret=False):
+    def fused_pallas_batched(quads, nbytes, interpret=False):
         """Batched fused fast path with Pallas pack assembly (TPU)."""
         from density_tpu.kernels import pack as packmod
-        n_q = words.shape[1] // 2
+        n_q = quads.shape[1]
         pow2 = n_q >= 256 and (n_q & (n_q - 1)) == 0
         if plan_fast_pallas is not None and pow2:
             flags, pw, w0, w1, valid, bits = plan_fast_pallas(
-                words, nbytes, interpret=interpret)
+                quads, nbytes, interpret=interpret)
         else:
             plan_b = (jax.vmap(plan_fast_one) if classify_fast is not None
                       else jax.vmap(
                           lambda w, n: plan_one(
-                              w, n, jnp.zeros(w.shape[0] // 2 // Q, bool))))
-            flags, pw, w0, w1, valid, bits = plan_b(words, nbytes)
+                              w, n, jnp.zeros(w.shape[0] // Q, bool))))
+            flags, pw, w0, w1, valid, bits = plan_b(quads, nbytes)
         ok = ~jnp.any(bits[:, 1:] & bits[:, :-1], axis=1)
         # The pack kernel emits the ragged tail from the plan's w0/w1 at
         # the partial-quad index, but classifiers may put a hash there
         # (the padding quad can match dictionary state). Stamp in the
         # raw input halfwords (reference: codec.rs:58-62 pushes the
         # ragged remainder verbatim).
-        S = words.shape[0]
-        n_q = words.shape[1] // 2
+        S = quads.shape[0]
+        n_q = quads.shape[1]
         fq = jnp.minimum(nbytes // 4, n_q - 1)
         rows = jnp.arange(S)
         ragged = nbytes % 4 > 0
-        raw0 = words[rows, 2 * fq].astype(w0.dtype)
-        raw1 = words[rows, 2 * fq + 1].astype(w1.dtype)
+        rq = quads[rows, fq].astype(jnp.uint32)
+        raw0 = (rq & 0xFFFF).astype(w0.dtype)
+        raw1 = (rq >> 16).astype(w1.dtype)
         w0 = w0.at[rows, fq].set(jnp.where(ragged, raw0, w0[rows, fq]))
         w1 = w1.at[rows, fq].set(jnp.where(ragged, raw1, w1[rows, fq]))
         out_words = packmod.pack(
@@ -259,17 +266,17 @@ def build_pipeline(*, Q: int, SIG_WORDS: int, BLOCK: int,
         jax.jit(functools.partial(fused_pallas_batched, interpret=True))
         if flag_bits is not None else None)
 
-    def fused_dispatch(words, nbytes):
+    def fused_dispatch(quads, nbytes):
         """Host-level dispatch: Pallas pack on a single TPU device when
         the geometry allows, XLA assembly otherwise. (Jitted callers
         must pick a variant explicitly.)"""
         mode = os.environ.get("DENSITY_TPU_PALLAS", "auto")
         from density_tpu.kernels import pack as packmod
-        n_q = words.shape[1] // 2
+        n_q = quads.shape[1]
         eligible = (fused_pallas is not None and mode != "0"
-                    and n_q % packmod.GQ == 0)
+                    and n_q % packmod.GQ_MIN == 0)
         if eligible and mode == "interpret":
-            return fused_pallas_interp(words, nbytes)
+            return fused_pallas_interp(quads, nbytes)
         # On hardware, only take the Pallas variant when the WHOLE plan
         # is Pallas (chameleon): shipping the vmapped XLA sort planner
         # + pack kernel as one remote AOT compile stalled the v5e
@@ -277,13 +284,13 @@ def build_pipeline(*, Q: int, SIG_WORDS: int, BLOCK: int,
         # DENSITY_TPU_PALLAS=1 to re-test.
         if eligible and (plan_fast_pallas is not None or mode == "1"):
             try:
-                devs = words.devices()
+                devs = quads.devices()
                 plat = next(iter(devs)).platform
             except Exception:
                 devs, plat = (), ""
             if len(devs) == 1 and plat in ("tpu", "axon"):
-                return fused_pallas(words, nbytes)
-        return fused_xla(words, nbytes)
+                return fused_pallas(quads, nbytes)
+        return fused_xla(quads, nbytes)
 
     return EncodePipeline(
         plan=jax.jit(jax.vmap(plan_one)),
@@ -300,7 +307,7 @@ def build_pipeline(*, Q: int, SIG_WORDS: int, BLOCK: int,
         encode_fused_pallas=fused_pallas)
 
 
-def run_encode(pipe: EncodePipeline, words, nbytes):
+def run_encode(pipe: EncodePipeline, quads, nbytes):
     """Host-driven fixed point over the copy-block set.
 
     The first iteration assumes no copy blocks; when the codec provides
@@ -309,25 +316,25 @@ def run_encode(pipe: EncodePipeline, words, nbytes):
     region -- that single fast pass is the whole hot path. Otherwise
     the general masked plan iterates to the fixed point.
 
-    words: uint32[(S, cap_words)] device array (may be sharded over a
-    mesh along the leading axis); nbytes: int32[(S,)].
-    Returns (out_words, totals, converged: bool).
+    quads: uint32[(S, n_q)] device array of little-endian input quads
+    (may be sharded over a mesh along the leading axis);
+    nbytes: int32[(S,)]. Returns (out_words, totals, converged: bool).
     """
-    S, cap_words = words.shape
-    nb = cap_words // 2 // pipe.Q
+    S, n_q = quads.shape
+    nb = n_q // pipe.Q
     if pipe.encode_fused is not None:
         # single dispatch + single host sync for the common case (no
         # stream has two adjacent incompressible blocks)
-        out_words, totals, ok = pipe.encode_fused(words, nbytes)
+        out_words, totals, ok = pipe.encode_fused(quads, nbytes)
         if bool(jnp.all(ok)):
             return out_words, totals, True
     copy = jnp.zeros((S, nb), dtype=bool)
     converged = False
     for it in range(MAX_FIXED_POINT_ITERS):
         if it == 0 and pipe.plan_fast is not None:
-            flags, pw, w0, w1, valid, bits = pipe.plan_fast(words, nbytes)
+            flags, pw, w0, w1, valid, bits = pipe.plan_fast(quads, nbytes)
         else:
-            flags, pw, w0, w1, valid, bits = pipe.plan(words, nbytes, copy)
+            flags, pw, w0, w1, valid, bits = pipe.plan(quads, nbytes, copy)
         new_copy = pipe.step_fsm(bits, nbytes)
         if not bool(jnp.any(new_copy != copy)):
             converged = True
@@ -335,10 +342,10 @@ def run_encode(pipe: EncodePipeline, words, nbytes):
         copy = new_copy
     no_copies = converged and not bool(jnp.any(copy))
     if no_copies and pipe.assemble_fast is not None:
-        out_words, totals = pipe.assemble_fast(words, nbytes, flags, pw,
+        out_words, totals = pipe.assemble_fast(quads, nbytes, flags, pw,
                                                w0, w1, valid)
     else:
-        out_words, totals = pipe.assemble(words, nbytes, copy, flags, pw,
+        out_words, totals = pipe.assemble(quads, nbytes, copy, flags, pw,
                                           w0, w1, valid)
     return out_words, totals, converged
 
@@ -354,9 +361,9 @@ def encode_oneshot(pipe: EncodePipeline, codec_name: str,
     cap_bytes = bucket_bytes(n, pipe.BLOCK)
     padded = np.zeros(cap_bytes, dtype=np.uint8)
     padded[:n] = buf
-    words = padded.view("<u2").astype(np.uint32)[None, :]
+    quads = padded.view("<u4")[None, :]
     nbytes = jnp.asarray(np.array([n], dtype=np.int32))
-    out_words, totals, converged = run_encode(pipe, jnp.asarray(words),
+    out_words, totals, converged = run_encode(pipe, jnp.asarray(quads),
                                               nbytes)
     if not converged:  # pathological stream: exact native fallback
         from density_tpu import native

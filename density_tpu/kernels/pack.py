@@ -34,10 +34,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-GQ = 4096          # quads per grid group
-QROWS = GQ // 128  # 32 quad-rows per group
-TQR = 8            # quad-rows per assembly tile
-TILES = QROWS // TQR
+GQ = 16384         # max quads per grid group (adaptive per call)
+GQ_MIN = 4096      # group-size quantum (callers pad N to this)
+TQR = 16           # quad-rows per assembly tile
 
 
 def _sig_weights(Q: int, sig_words: int, flag_bits: int) -> np.ndarray:
@@ -83,11 +82,12 @@ def _lane_seg_cumsum(x, seg: int):
 
 
 def _sublane_excl_cumsum(x):
-    """Exclusive cumsum along axis 0 (32 sublanes). x: (32, k) int32."""
+    """Exclusive cumsum along axis 0. x: (rows, k) int32."""
+    rows = x.shape[0]
     r = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
     acc = jnp.where(r >= 1, jnp.roll(x, 1, axis=0), 0)
     sh = 1
-    while sh < 32:
+    while sh < rows:
         acc = acc + jnp.where(r >= sh + 1, jnp.roll(acc, sh, axis=0), 0)
         sh *= 2
     return acc
@@ -152,9 +152,11 @@ def _place_all(parts, trows):
 
 
 def _make_kernel(Q: int, sig_words: int, block: int, flag_bits: int,
-                 n_groups: int, wrows: int, trows: int):
+                 n_groups: int, wrows: int, trows: int, gq: int):
     bpr = 128 // Q
     wpr = bpr * sig_words
+    QROWS = gq // 128
+    TILES = QROWS // TQR
 
     def kernel(nb_ref, flags_ref, pw_ref, w0_ref, w1_ref,
                sigw_ref, exp_ref, out_ref, carry):
@@ -174,7 +176,7 @@ def _make_kernel(Q: int, sig_words: int, block: int, flag_bits: int,
 
         riota = jax.lax.broadcasted_iota(jnp.int32, (QROWS, 128), 0)
         ciota = jax.lax.broadcasted_iota(jnp.int32, (QROWS, 128), 1)
-        gq = g * GQ + riota * 128 + ciota          # global quad index
+        gqi = g * gq + riota * 128 + ciota         # global quad index
 
         full_quads = n_bytes // 4
         ragged = n_bytes % 4
@@ -231,9 +233,9 @@ def _make_kernel(Q: int, sig_words: int, block: int, flag_bits: int,
 
         # ---- ragged tail tokens ---------------------------------------
         # rag halfwords are w0/w1 of the partial quad (zero-padded input)
-        in_group = ((full_quads >= g * GQ) & (full_quads < (g + 1) * GQ)
+        in_group = ((full_quads >= g * gq) & (full_quads < (g + 1) * gq)
                     & (ragged > 0))
-        at_fq = gq == full_quads
+        at_fq = gqi == full_quads
         ragv0 = jnp.sum(jnp.where(at_fq, w0, 0))
         ragv1 = jnp.sum(jnp.where(at_fq, w1, 0))
         rag_base = jnp.sum(jnp.where(is_last, gco + sig_words + bpw, 0)
@@ -284,8 +286,11 @@ def pack(flags, pw, w0, w1, nbytes, *, q, sig_words, block, flag_bits,
     encode size, 128-row padded.
     """
     S, N = flags.shape
-    assert N % GQ == 0, N
-    n_groups = N // GQ
+    assert N % GQ_MIN == 0, N
+    gq = GQ
+    while N % gq:
+        gq //= 2
+    n_groups = N // gq
     nb = N // q
     wout = 2 * N + nb * sig_words
     tq = TQR * 128
@@ -293,7 +298,7 @@ def pack(flags, pw, w0, w1, nbytes, *, q, sig_words, block, flag_bits,
     wrows = (wout + 127) // 128 + trows
 
     kernel = _make_kernel(q, sig_words, block, flag_bits, n_groups,
-                          wrows, trows)
+                          wrows, trows, gq)
     bpr = 128 // q
     wpr = bpr * sig_words
     sigw = jnp.asarray(_sig_weights(q, sig_words, flag_bits))
@@ -303,16 +308,20 @@ def pack(flags, pw, w0, w1, nbytes, *, q, sig_words, block, flag_bits,
         grid=(S, n_groups),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, QROWS, 128), lambda s, g: (s, g, 0)),
-            pl.BlockSpec((1, QROWS, 128), lambda s, g: (s, g, 0)),
-            pl.BlockSpec((1, QROWS, 128), lambda s, g: (s, g, 0)),
-            pl.BlockSpec((1, QROWS, 128), lambda s, g: (s, g, 0)),
+            pl.BlockSpec((1, gq // 128, 128), lambda s, g: (s, g, 0)),
+            pl.BlockSpec((1, gq // 128, 128), lambda s, g: (s, g, 0)),
+            pl.BlockSpec((1, gq // 128, 128), lambda s, g: (s, g, 0)),
+            pl.BlockSpec((1, gq // 128, 128), lambda s, g: (s, g, 0)),
             pl.BlockSpec((flag_bits, 128, wpr), lambda s, g: (0, 0, 0)),
             pl.BlockSpec((bpr, 128), lambda s, g: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, wrows, 128), lambda s, g: (s, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((S, wrows, 128), jnp.uint32),
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        # the unrolled tile loop's one-hot intermediates need ~45 MB of
+        # scoped stack at gq=16384; v5e has 128 MB VMEM per core
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(nbytes.reshape(S, 1).astype(jnp.int32),
       flags.astype(jnp.int32).reshape(S, N // 128, 128),

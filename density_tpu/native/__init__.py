@@ -40,6 +40,18 @@ def _load():
             fn.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
                            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                            ctypes.c_size_t]
+        lib.dtpu_stream_new.restype = ctypes.c_void_p
+        lib.dtpu_stream_new.argtypes = [ctypes.c_int]
+        lib.dtpu_stream_free.restype = None
+        lib.dtpu_stream_free.argtypes = [ctypes.c_void_p]
+        lib.dtpu_stream_reset.restype = None
+        lib.dtpu_stream_reset.argtypes = [ctypes.c_void_p]
+        for op in ("encode", "decode"):
+            fn = getattr(lib, f"dtpu_stream_{op}")
+            fn.restype = ctypes.c_size_t
+            fn.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                           ctypes.c_size_t, ctypes.c_void_p,
+                           ctypes.c_size_t, ctypes.c_int]
         _lib = lib
     except Exception as e:  # pragma: no cover - toolchain missing
         _load_error = e
@@ -83,7 +95,7 @@ def scan(codec: str, data: bytes):
     """Scan a compressed stream into per-block metadata.
 
     Returns (in_offsets, out_offsets, is_copy) numpy arrays of length
-    n_blocks, or raises ValueError on malformed input.
+    n_blocks, or raises DecodeError on malformed input.
     """
     lib = _load()
     if lib is None:
@@ -104,5 +116,6 @@ def scan(codec: str, data: bytes):
         is_copy.ctypes.data_as(ctypes.c_void_p),
         max_blocks)
     if n == ctypes.c_size_t(-1).value:
-        raise ValueError(f"malformed {codec} stream")
+        from density_tpu.errors import DecodeError
+        raise DecodeError(f"malformed {codec} stream")
     return in_off[:n], out_off[:n], is_copy[:n]

@@ -84,13 +84,35 @@ struct Chameleon {
   std::vector<uint32_t> dict;
   Chameleon() : dict(1u << kHashBits, 0) {}
 
+  void reset() { std::fill(dict.begin(), dict.end(), 0); }
   size_t encode(const uint8_t* in, size_t in_size, uint8_t* out, size_t out_cap);
   size_t decode(const uint8_t* in, size_t in_size, uint8_t* out, size_t out_cap);
+  // Streaming variants: dictionary state lives in the struct (instance
+  // reuse, reference codec.rs:16); the protection FSM is caller-owned
+  // so it survives across chunks. decode_p consumes only provably
+  // complete blocks unless final_chunk.
+  size_t encode_p(const uint8_t* in, size_t in_size, uint8_t* out,
+                  size_t out_cap, Protection& prot);
+  size_t decode_p(const uint8_t* in, size_t in_size, uint8_t* out,
+                  size_t out_cap, Protection& prot, bool final_chunk,
+                  size_t* consumed);
 };
 
 size_t Chameleon::encode(const uint8_t* in, size_t in_size, uint8_t* out,
                          size_t out_cap) {
   Protection prot;
+  return encode_p(in, in_size, out, out_cap, prot);
+}
+
+size_t Chameleon::decode(const uint8_t* in, size_t in_size, uint8_t* out,
+                         size_t out_cap) {
+  Protection prot;
+  size_t consumed = 0;
+  return decode_p(in, in_size, out, out_cap, prot, true, &consumed);
+}
+
+size_t Chameleon::encode_p(const uint8_t* in, size_t in_size, uint8_t* out,
+                           size_t out_cap, Protection& prot) {
   size_t op = 0;
   for (size_t bs = 0; bs < in_size; bs += kBlock) {
     size_t blen = in_size - bs < kBlock ? in_size - bs : kBlock;
@@ -137,9 +159,9 @@ size_t Chameleon::encode(const uint8_t* in, size_t in_size, uint8_t* out,
   return op;
 }
 
-size_t Chameleon::decode(const uint8_t* in, size_t in_size, uint8_t* out,
-                         size_t out_cap) {
-  Protection prot;
+size_t Chameleon::decode_p(const uint8_t* in, size_t in_size, uint8_t* out,
+                           size_t out_cap, Protection& prot,
+                           bool final_chunk, size_t* consumed) {
   size_t ip = 0, op = 0;
   auto plain = [&](size_t& ip) {
     uint32_t quad = load_u32le(in + ip);
@@ -174,6 +196,8 @@ size_t Chameleon::decode(const uint8_t* in, size_t in_size, uint8_t* out,
     }
     prot.update(ip - mark >= kBlock);
   }
+  *consumed = ip;
+  if (!final_chunk) return op;  // tail only at end-of-stream
   // Tail
   while (in_size - ip > 0) {
     if (prot.revert_to_copy()) {
@@ -189,10 +213,12 @@ size_t Chameleon::decode(const uint8_t* in, size_t in_size, uint8_t* out,
       }
       if (op + rem > out_cap) return 0;
       std::memcpy(out + op, in + ip, rem);
+      ip += rem;
+      *consumed = ip;
       return op + rem;
     }
     size_t mark = ip;
-    if (in_size - ip < kSigBytes) return op;  // malformed; stop safely
+    if (in_size - ip < kSigBytes) { *consumed = ip; return op; }  // malformed; stop safely
     uint64_t sig;
     std::memcpy(&sig, in + ip, 8);
     ip += 8;
@@ -201,10 +227,12 @@ size_t Chameleon::decode(const uint8_t* in, size_t in_size, uint8_t* out,
       sig >>= 1;
       if (flag == 0) {
         size_t rem = in_size - ip;
-        if (rem == 0) return op;
+        if (rem == 0) { *consumed = ip; return op; }
         if (rem <= 3) {
           if (op + rem > out_cap) return 0;
           std::memcpy(out + op, in + ip, rem);
+          ip += rem;
+          *consumed = ip;
           return op + rem;
         }
         if (op + 4 > out_cap) return 0;
@@ -217,6 +245,7 @@ size_t Chameleon::decode(const uint8_t* in, size_t in_size, uint8_t* out,
     }
     prot.update(ip - mark >= kBlock);
   }
+  *consumed = ip;
   return op;
 }
 
@@ -235,13 +264,36 @@ struct Cheetah {
         chunk_b(1u << kHashBits, 0),
         pred(1u << kHashBits, 0) {}
 
+  void reset() {
+    std::fill(chunk_a.begin(), chunk_a.end(), 0);
+    std::fill(chunk_b.begin(), chunk_b.end(), 0);
+    std::fill(pred.begin(), pred.end(), 0);
+    last_hash = 0;
+  }
   size_t encode(const uint8_t* in, size_t in_size, uint8_t* out, size_t out_cap);
   size_t decode(const uint8_t* in, size_t in_size, uint8_t* out, size_t out_cap);
+  size_t encode_p(const uint8_t* in, size_t in_size, uint8_t* out,
+                  size_t out_cap, Protection& prot);
+  size_t decode_p(const uint8_t* in, size_t in_size, uint8_t* out,
+                  size_t out_cap, Protection& prot, bool final_chunk,
+                  size_t* consumed);
 };
 
 size_t Cheetah::encode(const uint8_t* in, size_t in_size, uint8_t* out,
                        size_t out_cap) {
   Protection prot;
+  return encode_p(in, in_size, out, out_cap, prot);
+}
+
+size_t Cheetah::decode(const uint8_t* in, size_t in_size, uint8_t* out,
+                       size_t out_cap) {
+  Protection prot;
+  size_t consumed = 0;
+  return decode_p(in, in_size, out, out_cap, prot, true, &consumed);
+}
+
+size_t Cheetah::encode_p(const uint8_t* in, size_t in_size, uint8_t* out,
+                         size_t out_cap, Protection& prot) {
   size_t op = 0;
   for (size_t bs = 0; bs < in_size; bs += kBlock) {
     size_t blen = in_size - bs < kBlock ? in_size - bs : kBlock;
@@ -302,9 +354,9 @@ size_t Cheetah::encode(const uint8_t* in, size_t in_size, uint8_t* out,
   return op;
 }
 
-size_t Cheetah::decode(const uint8_t* in, size_t in_size, uint8_t* out,
-                       size_t out_cap) {
-  Protection prot;
+size_t Cheetah::decode_p(const uint8_t* in, size_t in_size, uint8_t* out,
+                         size_t out_cap, Protection& prot,
+                         bool final_chunk, size_t* consumed) {
   size_t ip = 0, op = 0;
   auto step = [&](uint64_t flag, size_t& ip) -> uint32_t {
     uint32_t quad;
@@ -366,6 +418,8 @@ size_t Cheetah::decode(const uint8_t* in, size_t in_size, uint8_t* out,
     }
     prot.update(ip - mark >= kBlock);
   }
+  *consumed = ip;
+  if (!final_chunk) return op;  // tail only at end-of-stream
   while (in_size - ip > 0) {
     if (prot.revert_to_copy()) {
       size_t rem = in_size - ip;
@@ -379,10 +433,12 @@ size_t Cheetah::decode(const uint8_t* in, size_t in_size, uint8_t* out,
       }
       if (op + rem > out_cap) return 0;
       std::memcpy(out + op, in + ip, rem);
+      ip += rem;
+      *consumed = ip;
       return op + rem;
     }
     size_t mark = ip;
-    if (in_size - ip < kSigBytes) return op;
+    if (in_size - ip < kSigBytes) { *consumed = ip; return op; }
     uint64_t sig;
     std::memcpy(&sig, in + ip, 8);
     ip += 8;
@@ -391,10 +447,12 @@ size_t Cheetah::decode(const uint8_t* in, size_t in_size, uint8_t* out,
       sig >>= 2;
       if (flag == 0) {
         size_t rem = in_size - ip;
-        if (rem == 0) return op;
+        if (rem == 0) { *consumed = ip; return op; }
         if (rem <= 3) {
           if (op + rem > out_cap) return 0;
           std::memcpy(out + op, in + ip, rem);
+          ip += rem;
+          *consumed = ip;
           return op + rem;
         }
       }
@@ -405,6 +463,7 @@ size_t Cheetah::decode(const uint8_t* in, size_t in_size, uint8_t* out,
     }
     prot.update(ip - mark >= kBlock);
   }
+  *consumed = ip;
   return op;
 }
 
@@ -435,13 +494,36 @@ struct Lion {
     p.a = quad;
   }
 
+  void reset() {
+    std::fill(chunk_a.begin(), chunk_a.end(), 0);
+    std::fill(chunk_b.begin(), chunk_b.end(), 0);
+    std::fill(pred.begin(), pred.end(), Pred{0, 0, 0, 0, 0});
+    last_hash = 0;
+  }
   size_t encode(const uint8_t* in, size_t in_size, uint8_t* out, size_t out_cap);
   size_t decode(const uint8_t* in, size_t in_size, uint8_t* out, size_t out_cap);
+  size_t encode_p(const uint8_t* in, size_t in_size, uint8_t* out,
+                  size_t out_cap, Protection& prot);
+  size_t decode_p(const uint8_t* in, size_t in_size, uint8_t* out,
+                  size_t out_cap, Protection& prot, bool final_chunk,
+                  size_t* consumed);
 };
 
 size_t Lion::encode(const uint8_t* in, size_t in_size, uint8_t* out,
                     size_t out_cap) {
   Protection prot;
+  return encode_p(in, in_size, out, out_cap, prot);
+}
+
+size_t Lion::decode(const uint8_t* in, size_t in_size, uint8_t* out,
+                    size_t out_cap) {
+  Protection prot;
+  size_t consumed = 0;
+  return decode_p(in, in_size, out, out_cap, prot, true, &consumed);
+}
+
+size_t Lion::encode_p(const uint8_t* in, size_t in_size, uint8_t* out,
+                      size_t out_cap, Protection& prot) {
   size_t op = 0;
   for (size_t bs = 0; bs < in_size; bs += kBlock) {
     size_t blen = in_size - bs < kBlock ? in_size - bs : kBlock;
@@ -521,9 +603,9 @@ size_t Lion::encode(const uint8_t* in, size_t in_size, uint8_t* out,
   return op;
 }
 
-size_t Lion::decode(const uint8_t* in, size_t in_size, uint8_t* out,
-                    size_t out_cap) {
-  Protection prot;
+size_t Lion::decode_p(const uint8_t* in, size_t in_size, uint8_t* out,
+                      size_t out_cap, Protection& prot,
+                      bool final_chunk, size_t* consumed) {
   size_t ip = 0, op = 0;
   auto read_sig = [&](size_t& ip) -> uint64_t {
     // reference: lion.rs:339-351
@@ -630,6 +712,8 @@ size_t Lion::decode(const uint8_t* in, size_t in_size, uint8_t* out,
     }
     prot.update(ip - mark >= kBlock);
   }
+  *consumed = ip;
+  if (!final_chunk) return op;  // tail only at end-of-stream
   while (in_size - ip > 0) {
     if (prot.revert_to_copy()) {
       size_t rem = in_size - ip;
@@ -643,20 +727,24 @@ size_t Lion::decode(const uint8_t* in, size_t in_size, uint8_t* out,
       }
       if (op + rem > out_cap) return 0;
       std::memcpy(out + op, in + ip, rem);
+      ip += rem;
+      *consumed = ip;
       return op + rem;
     }
     size_t mark = ip;
-    if (in_size - ip < kSigBytes) return op;
+    if (in_size - ip < kSigBytes) { *consumed = ip; return op; }
     uint64_t sig = read_sig(ip);
     for (int u = 0; u < 16; u++) {
       uint64_t flag = sig & 7;
       sig >>= 3;
       if (flag == 0) {
         size_t rem = in_size - ip;
-        if (rem == 0) return op;
+        if (rem == 0) { *consumed = ip; return op; }
         if (rem <= 3) {
           if (op + rem > out_cap) return 0;
           std::memcpy(out + op, in + ip, rem);
+          ip += rem;
+          *consumed = ip;
           return op + rem;
         }
       }
@@ -667,6 +755,7 @@ size_t Lion::decode(const uint8_t* in, size_t in_size, uint8_t* out,
     }
     prot.update(ip - mark >= kBlock);
   }
+  *consumed = ip;
   return op;
 }
 
@@ -795,6 +884,35 @@ inline size_t safe_size(size_t size, size_t block, size_t sig_bytes) {
   return size + blocks * sig_bytes + (size % block ? sig_bytes : 0);
 }
 
+// ---------------------------------------------------------------------------
+// Streaming / stateful session: the analogue of the reference's codec
+// instance reuse (reference: codec.rs:16 clear_state, chameleon.rs:45-53
+// construct-per-call statics). Dictionary state persists across chunks;
+// the protection FSM is carried between calls; partial blocks are
+// buffered internally so arbitrary chunk boundaries produce the exact
+// bytes of a one-shot encode of the concatenated input.
+// ---------------------------------------------------------------------------
+
+struct DtpuStream {
+  int codec;  // 0 chameleon / 1 cheetah / 2 lion
+  Chameleon cham;
+  Cheetah che;
+  Lion li;
+  Protection eprot, dprot;
+  std::vector<uint8_t> ehold, dhold;
+  explicit DtpuStream(int c) : codec(c) {}
+  size_t block() const { return codec == 0 ? 256 : codec == 1 ? 128 : 64; }
+  void reset() {
+    cham.reset();
+    che.reset();
+    li.reset();
+    eprot = Protection{};
+    dprot = Protection{};
+    ehold.clear();
+    dhold.clear();
+  }
+};
+
 }  // namespace
 
 extern "C" {
@@ -861,6 +979,70 @@ size_t lion_scan(const uint8_t* in, size_t in_size, int64_t* in_offsets,
                  int64_t* out_offsets, uint8_t* is_copy, size_t max_blocks) {
   return scan_stream<LionTraits>(in, in_size, in_offsets, out_offsets, is_copy,
                                  max_blocks);
+}
+
+// --- streaming / stateful sessions ------------------------------------------
+
+void* dtpu_stream_new(int codec) {
+  if (codec < 0 || codec > 2) return nullptr;
+  return new DtpuStream(codec);
+}
+
+void dtpu_stream_free(void* sp) { delete static_cast<DtpuStream*>(sp); }
+
+void dtpu_stream_reset(void* sp) { static_cast<DtpuStream*>(sp)->reset(); }
+
+// Feed `n` input bytes; writes encoded bytes for every COMPLETE block
+// (all buffered input when final_chunk). Returns bytes written, or
+// (size_t)-1 if out_cap is too small (no state is consumed then).
+size_t dtpu_stream_encode(void* sp, const uint8_t* in, size_t n,
+                          uint8_t* out, size_t out_cap, int final_chunk) {
+  auto* s = static_cast<DtpuStream*>(sp);
+  s->ehold.insert(s->ehold.end(), in, in + n);
+  size_t avail = s->ehold.size();
+  size_t take = final_chunk ? avail : avail / s->block() * s->block();
+  if (take == 0) return 0;
+  size_t w;
+  switch (s->codec) {
+    case 0: w = s->cham.encode_p(s->ehold.data(), take, out, out_cap,
+                                 s->eprot); break;
+    case 1: w = s->che.encode_p(s->ehold.data(), take, out, out_cap,
+                                s->eprot); break;
+    default: w = s->li.encode_p(s->ehold.data(), take, out, out_cap,
+                                s->eprot); break;
+  }
+  if (w == 0) return static_cast<size_t>(-1);  // out_cap too small
+  s->ehold.erase(s->ehold.begin(), s->ehold.begin() + take);
+  return w;
+}
+
+// Feed `n` compressed bytes; writes decoded bytes for every block that
+// is provably complete (the reference fast-loop criterion,
+// codec.rs:88); the tail runs when final_chunk. Returns bytes written,
+// or (size_t)-1 if out_cap is too small.
+size_t dtpu_stream_decode(void* sp, const uint8_t* in, size_t n,
+                          uint8_t* out, size_t out_cap, int final_chunk) {
+  auto* s = static_cast<DtpuStream*>(sp);
+  s->dhold.insert(s->dhold.end(), in, in + n);
+  if (s->dhold.empty()) return 0;
+  size_t consumed = 0;
+  size_t w;
+  switch (s->codec) {
+    case 0: w = s->cham.decode_p(s->dhold.data(), s->dhold.size(), out,
+                                 out_cap, s->dprot, final_chunk,
+                                 &consumed); break;
+    case 1: w = s->che.decode_p(s->dhold.data(), s->dhold.size(), out,
+                                out_cap, s->dprot, final_chunk,
+                                &consumed); break;
+    default: w = s->li.decode_p(s->dhold.data(), s->dhold.size(), out,
+                                out_cap, s->dprot, final_chunk,
+                                &consumed); break;
+  }
+  if (w == 0 && consumed == 0 && out_cap < s->block()) {
+    return static_cast<size_t>(-1);
+  }
+  s->dhold.erase(s->dhold.begin(), s->dhold.begin() + consumed);
+  return w;
 }
 
 }  // extern "C"

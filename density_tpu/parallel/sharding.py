@@ -29,6 +29,95 @@ def _codec_mod(codec: str):
     return importlib.import_module(f"density_tpu.codecs.{codec}")
 
 
+@jax.jit
+def _widen(w16):
+    """u16 halfwords -> u32, on device. Staging is a u16 host view
+    (half the tunnel traffic of u32 staging); the widening is a pure
+    convert -- a u8-interleaved staging would need a strided
+    de-interleave, which is a ~25 ms relayout on v5e for 10 MB."""
+    return w16.astype(jnp.uint32)
+
+
+def _put(x, sharding):
+    """device_put that also works multi-process: when the sharding
+    spans non-addressable devices, build the global array from local
+    shards of the (host-replicated) numpy value."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    xn = np.asarray(x)
+    return jax.make_array_from_callback(xn.shape, sharding,
+                                        lambda idx: xn[idx])
+
+
+def _host_gather(x) -> np.ndarray:
+    """Fetch a (possibly multi-process sharded) device array to every
+    host, in global (stream) order. Single-process: plain transfer.
+    Multi-process: the ordered variable-length gather rides
+    multihost_utils.process_allgather (ICI/DCN allgather of the padded
+    shards + concatenation in global shard order; SURVEY.md §5
+    'distributed communication backend')."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
+def _stage_streams_u8(buf: np.ndarray, n: int, s_pad: int, cap_bytes: int,
+                      stream_size: int) -> np.ndarray:
+    """Vectorized host staging: (s_pad, cap_bytes) u8, zero-padded.
+    Full streams land via one bulk reshape; only the ragged final
+    stream is copied separately."""
+    padded = np.zeros((s_pad, cap_bytes), dtype=np.uint8)
+    full = n // stream_size
+    if full:
+        padded[:full, :stream_size] = buf[:full * stream_size].reshape(
+            full, stream_size)
+    rem = n - full * stream_size
+    if rem:
+        padded[full, :rem] = buf[full * stream_size:]
+    return padded
+
+
+def _encode_batch_to_parts(codec, buf, offset, n, s_real, s_pad,
+                           cap_bytes, stream_size, mesh):
+    """Encode s_real streams of `buf[offset:offset+n]` (each stream_size
+    bytes, the last possibly short) staged at cap_bytes; returns the
+    list of per-stream compressed byte strings."""
+    padded = _stage_streams_u8(buf[offset:offset + n], n, s_pad,
+                               cap_bytes, stream_size)
+    nbytes = np.clip(n - np.arange(s_pad, dtype=np.int64) * stream_size,
+                     0, stream_size).astype(np.int32)
+    sh = stream_sharding(mesh)
+    # stage little-endian u32 quads: a zero-copy host view, same bytes
+    # on the wire as u8, and no strided de-interleave on device
+    jquads = _put(jnp.asarray(padded.view("<u4")), sh)
+    jn = _put(jnp.asarray(nbytes), sh)
+    pipe = _codec_mod(codec).PIPELINE
+    out_words, totals, converged = layout.run_encode(pipe, jquads, jn)
+
+    totals = _host_gather(totals)
+    # ordered gather: one device->host transfer of u16 words (the
+    # padded-capacity tail is trimmed per stream below). The slice
+    # width is bucketed so the eager slice/astype kernel compiles a
+    # bounded number of times (remote compiles are expensive).
+    max_words = (int(totals[:s_real].max()) + 1) // 2 if s_real else 0
+    max_words = min(layout.bucket_bytes(max(2 * max_words, 2),
+                                        SPECS[codec].block_size) // 2,
+                    out_words.shape[1])
+    out_np = _host_gather(out_words[:, :max_words].astype(jnp.uint16))
+    parts = []
+    for s in range(s_real):
+        if converged:
+            t = int(totals[s])
+            parts.append(out_np[s, : (t + 1) // 2].tobytes()[:t])
+        else:  # pathological stream: exact native fallback
+            from density_tpu import native
+            lo = offset + s * stream_size
+            hi = min(lo + stream_size, offset + n)
+            parts.append(native.encode(codec, buf[lo:hi].tobytes()))
+    return parts
+
+
 def compress(data: bytes, codec: str, stream_size: int = DEFAULT_STREAM_SIZE,
              mesh=None) -> bytes:
     buf = np.frombuffer(bytes(data), dtype=np.uint8)
@@ -37,44 +126,31 @@ def compress(data: bytes, codec: str, stream_size: int = DEFAULT_STREAM_SIZE,
         return build_header(codec, 0, stream_size, [])
     mesh = default_mesh() if mesh is None else mesh
     n_dev = mesh.devices.size
+    block = SPECS[codec].block_size
 
     s_real = split_streams(n, stream_size)
-    s_pad = -(-s_real // n_dev) * n_dev  # even sharding
-    cap_bytes = layout.bucket_bytes(stream_size, SPECS[codec].block_size)
-    cap_words = cap_bytes // 2
+    s_full = n // stream_size
+    tail = n - s_full * stream_size
 
-    padded = np.zeros(s_pad * cap_bytes, dtype=np.uint8)
-    view = padded.reshape(s_pad, cap_bytes)
-    for s in range(s_real):
-        chunk = buf[s * stream_size:(s + 1) * stream_size]
-        view[s, :chunk.size] = chunk
-    words = view.view("<u2").astype(np.uint32).reshape(s_pad, cap_words)
-    nbytes = np.clip(n - np.arange(s_pad, dtype=np.int64) * stream_size,
-                     0, stream_size).astype(np.int32)
-
-    sh = stream_sharding(mesh)
-    jwords = jax.device_put(jnp.asarray(words), sh)
-    jn = jax.device_put(jnp.asarray(nbytes), sh)
-    pipe = _codec_mod(codec).PIPELINE
-    out_words, totals, converged = layout.run_encode(pipe, jwords, jn)
-
-    totals = np.asarray(totals)
-    # ordered gather: one device->host transfer of u16 words (the
-    # padded-capacity tail is trimmed per stream below)
-    max_words = (int(totals[:s_real].max()) + 1) // 2 if s_real else 0
-    out_np = np.asarray(out_words[:, :max_words].astype(jnp.uint16))
     parts = []
-    lengths = []
-    for s in range(s_real):
-        if converged:
-            t = int(totals[s])
-            raw = out_np[s, : (t + 1) // 2].tobytes()[:t]
-        else:  # pathological stream: exact native fallback
-            from density_tpu import native
-            raw = native.encode(
-                codec, buf[s * stream_size:(s + 1) * stream_size].tobytes())
-        parts.append(raw)
-        lengths.append(len(raw))
+    if s_full:
+        s_pad = -(-s_full // n_dev) * n_dev  # even sharding
+        cap_bytes = layout.bucket_bytes(stream_size, block)
+        parts += _encode_batch_to_parts(codec, buf, 0,
+                                        s_full * stream_size, s_full,
+                                        s_pad, cap_bytes, stream_size,
+                                        mesh)
+    if tail:
+        # the ragged final stream runs as its own (replicated) dispatch
+        # at a capacity bucketed to ITS length -- with large default
+        # streams, padding the tail to a full stream would dominate the
+        # device work (e.g. 2 MiB of data costing an 8 MiB encode)
+        cap_tail = layout.bucket_bytes(tail, block)
+        parts += _encode_batch_to_parts(codec, buf, s_full * stream_size,
+                                        tail, 1, n_dev, cap_tail,
+                                        cap_tail, mesh)
+    lengths = [len(p) for p in parts]
+    assert len(parts) == s_real
     return build_header(codec, n, stream_size, lengths) + b"".join(parts)
 
 
@@ -83,17 +159,25 @@ def compress(data: bytes, codec: str, stream_size: int = DEFAULT_STREAM_SIZE,
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("codec",))
-def _decode_batch(words, in_word_off, is_copy, nb_real, out_len, codec):
+def _decode_batch(wbytes, in_word_off, is_copy, nb_real, out_len, codec):
+    """Batched parallel decode. Returns (out_words, ok): ok[s] False
+    marks a stream whose context fixpoint did not converge (see
+    cheetah/lion._resolve_parallel); the caller redecodes those few
+    streams with the sequential scanner."""
+    words = _widen(wbytes)
     mod = _codec_mod(codec)
+    S = wbytes.shape[0]
     if codec == "chameleon":
-        return jax.vmap(mod._decode_core.__wrapped__)(
+        out = jax.vmap(mod._decode_core.__wrapped__)(
             words, in_word_off, is_copy, nb_real, out_len)
+        return out, jnp.ones(S, bool)
 
     def one(w, o, c, nbr, ol):
         flags, w0, w1, valid = mod._extract_tokens.__wrapped__(
             w, o, c, nbr, ol)
-        quads = mod._resolve_scan.__wrapped__(flags, w0, w1, valid)
-        return mod._assemble.__wrapped__(quads, valid, w, o, c, nbr, ol)
+        quads, ok = mod._resolve_parallel.__wrapped__(flags, w0, w1, valid)
+        return mod._assemble.__wrapped__(quads, valid, w, o, c, nbr,
+                                         ol), ok
 
     return jax.vmap(one)(words, in_word_off, is_copy, nb_real, out_len)
 
@@ -121,7 +205,8 @@ def decode_prep(data: bytes, mesh=None):
     nb_cap = layout.bucket_bytes(
         -(-stream_size // BLOCK) * BLOCK, BLOCK) // BLOCK
 
-    words = np.zeros((s_pad, cap_words), dtype=np.uint32)
+    wbytes = np.zeros((s_pad, cap_words * 2), dtype=np.uint8)
+    w16view = wbytes.view("<u2")
     woff = np.zeros((s_pad, nb_cap), dtype=np.int32)
     copyf = np.zeros((s_pad, nb_cap), dtype=bool)
     nb_real = np.zeros(s_pad, dtype=np.int32)
@@ -139,17 +224,15 @@ def decode_prep(data: bytes, mesh=None):
         nb_real[s] = nb
         woff[s, :nb] = in_off // 2
         copyf[s, :nb] = is_copy.astype(bool)
-        w16 = np.frombuffer(raw + (b"\x00" if len(raw) % 2 else b""),
-                            dtype="<u2")
-        words[s, :w16.size] = w16
+        wbytes[s, :len(raw)] = np.frombuffer(raw, dtype=np.uint8)
 
     sh = stream_sharding(mesh)
     device_args = (
-        jax.device_put(jnp.asarray(words), sh),
-        jax.device_put(jnp.asarray(woff), sh),
-        jax.device_put(jnp.asarray(copyf), sh),
-        jax.device_put(jnp.asarray(nb_real), sh),
-        jax.device_put(jnp.asarray(out_lens), sh))
+        _put(jnp.asarray(w16view), sh),
+        _put(jnp.asarray(woff), sh),
+        _put(jnp.asarray(copyf), sh),
+        _put(jnp.asarray(nb_real), sh),
+        _put(jnp.asarray(out_lens), sh))
     host_meta = (original_len, out_lens, copyf, nb_real, s_real)
     return codec, device_args, streams, host_meta
 
@@ -160,13 +243,22 @@ def decompress(data: bytes, mesh=None) -> bytes:
         return b""
     codec, device_args, streams, host_meta = decode_prep(data, mesh)
     original_len, out_lens, copyf, nb_real, s_real = host_meta
-    out_words = _decode_batch(*device_args, codec)
-    out_np = np.asarray(out_words.astype(jnp.uint16))
+    out_words, ok = _decode_batch(*device_args, codec)
+    ok = _host_gather(ok)
+    out_np = _host_gather(out_words.astype(jnp.uint16))
+    redo = set(np.nonzero(~ok[:s_real])[0].tolist())
 
     parts = []
     for s in range(s_real):
         ol = int(out_lens[s])
         if ol == 0:
+            continue
+        if s in redo:
+            # stream whose context fixpoint did not converge (deep
+            # prediction chains): exact native redecode (~GB/s host)
+            from density_tpu import native
+            parts.append(native.decode(codec, streams[s],
+                                       decoded_size_hint=ol))
             continue
         chunk = bytearray(out_np[s, : (ol + 1) // 2].tobytes()[:ol])
         ragged = ol % 4

@@ -28,12 +28,8 @@ def _stage(rng, S, n_q, nb, compressible):
     data[:, 2::4] = (quads >> 16) & 0xFF
     data[:, 3::4] = (quads >> 24) & 0xFF
     data[:, nb:] = 0  # zero-pad past the logical end (staging contract)
-    words = np.zeros((S, n_q * 2), np.uint32)
-    words[:, 0::2] = (data[:, 0::4].astype(np.uint32)
-                      | (data[:, 1::4].astype(np.uint32) << 8))
-    words[:, 1::2] = (data[:, 2::4].astype(np.uint32)
-                      | (data[:, 3::4].astype(np.uint32) << 8))
-    return jnp.asarray(words), jnp.full((S,), nb, jnp.int32)
+    quads = data.view("<u4")  # (S, n_q) little-endian u32 quads
+    return jnp.asarray(quads), jnp.full((S,), nb, jnp.int32)
 
 
 @pytest.mark.parametrize("codec", ["chameleon", "cheetah", "lion"])
