@@ -151,15 +151,16 @@ def _device_decode_time(blob, repeats=3, chain=8):
     import jax
     import jax.numpy as jnp
     from density_tpu.parallel import sharding
-    codec, device_args, _, _ = sharding.decode_prep(blob)
+    codec, device_args, _, host_meta = sharding.decode_prep(blob)
     words, woff, copyf, nb_real, out_lens = device_args
+    fn = sharding.pick_decode_fn(codec, device_args,
+                                 bool(host_meta[2].any()))
 
     @jax.jit
     def chained(words, woff, copyf, nb_real, out_lens):
         def step(_, carry):
             w, acc = jax.lax.optimization_barrier(carry)
-            out, _ = sharding._decode_batch(w, woff, copyf, nb_real,
-                                            out_lens, codec)
+            out, _ = fn(w, woff, copyf, nb_real, out_lens)
             return (w, acc ^ jnp.sum(out[0, :8]).astype(jnp.int32))
         return jax.lax.fori_loop(0, chain, step, (words, jnp.int32(0)))[1]
 
@@ -179,12 +180,14 @@ def _profile(codec, data, stream_size, blob):
     words, nbytes = _stage_words(codec, data, stream_size)
     fused = _pick_encode_fn(codec, words)
     _sync(fused(words, nbytes))  # compile outside the trace
-    dcodec, device_args, _, _ = sharding.decode_prep(blob)
-    _sync(sharding._decode_batch(*device_args, dcodec))
+    dcodec, device_args, _, host_meta = sharding.decode_prep(blob)
+    dfn = sharding.pick_decode_fn(dcodec, device_args,
+                                  bool(host_meta[2].any()))
+    _sync(dfn(*device_args))
     tdir = os.path.join(os.path.dirname(__file__) or ".", "profile_trace")
     with jax.profiler.trace(tdir):
         _sync(fused(words, nbytes))
-        _sync(sharding._decode_batch(*device_args, dcodec))
+        _sync(dfn(*device_args))
     print(f"[bench] profiler trace written to {tdir}", file=sys.stderr)
 
 

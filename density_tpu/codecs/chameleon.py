@@ -131,20 +131,49 @@ def plan_fast_pallas(quads, nbytes, interpret=False):
         same = prev_h == h_grp
         prev_q = jnp.pad(q_s[:, :-1], ((0, 0), (1, 0)))
     else:
+        # Two-key two-ARRAY sort: instead of carrying the 32-bit quad
+        # through the network, compare quads within a hash group via a
+        # 16-bit fingerprint packed under the index in key2.  Given
+        # equal hashes, cmp16 determines the quad exactly: the hash
+        # pins (quad*M) >> 16, cmp16 restores the low product bits
+        # (whose LSB is always 0 -- M is even) plus the quad's top bit,
+        # and M/2 is odd so quad*M mod 2^32 + top bit <-> quad.
         seg_bits = (n_q - 1).bit_length() - 16
+        prod = quads * jnp.uint32(0x9D6EF916)
+        cmp16 = ((prod & 0xFFFF) >> 1) | ((quads >> 31) << 15)
         p = (h << seg_bits) | (lidx >> 16)
-        s = jnp.broadcast_to(lidx & 0xFFFF, p.shape)
-        p_s, s_s, q_s = bitonic.sort(p, s, quads, n_keys=2,
-                                     interpret=interpret)
+        bias = jnp.int32(-2**31)
+        k2 = ((((lidx.astype(jnp.uint32) & 0xFFFF) << 16) | cmp16)
+              .astype(jnp.int32) ^ bias)
+        p_s, k2_s = bitonic.sort(p, k2, n_keys=2, interpret=interpret)
+        u = (k2_s ^ bias).astype(jnp.uint32)
+        cmp_s = u & 0xFFFF
         prev_p = jnp.pad(p_s[:, :-1], ((0, 0), (1, 0)),
                          constant_values=-1)
-        prev_q = jnp.pad(q_s[:, :-1], ((0, 0), (1, 0)))
-        same = (prev_p >> seg_bits) == (p_s >> seg_bits)
-        lidx_s = ((p_s & ((1 << seg_bits) - 1)) << 16) | s_s
+        prev_cmp = jnp.pad(cmp_s[:, :-1], ((0, 0), (1, 0)))
+        h_grp = p_s >> seg_bits
+        same = (prev_p >> seg_bits) == h_grp
+        lidx_s = (((p_s & ((1 << seg_bits) - 1)) << 16)
+                  | (u >> 16).astype(jnp.int32))
+        q_s = cmp_s  # fingerprint stands in for the quad value
+        prev_q = prev_cmp
+        # first-in-group sees the zero-initialized dictionary
+        # (quad == 0 <=> hash == 0 and fingerprint == 0)
+        is_map_s = jnp.where(same, q_s == prev_q,
+                             (h_grp == 0) & (q_s == 0))
+        packed = (lidx_s << 1) | is_map_s.astype(jnp.int32)
+        (up,) = bitonic.sort(packed, n_keys=1, interpret=interpret)
+        return _finish_plan_fp(up, lidx, quads, h, nbytes, S, n_q)
     # first-in-group sees the zero-initialized dictionary
     is_map_s = jnp.where(same, q_s == prev_q, q_s == 0)
     packed = (lidx_s << 1) | is_map_s.astype(jnp.int32)
     (up,) = bitonic.sort(packed, n_keys=1, interpret=interpret)
+    return _finish_plan_fp(up, lidx, quads, h, nbytes, S, n_q)
+
+
+def _finish_plan_fp(up, lidx, quads, h, nbytes, S, n_q):
+    """Shared plan tail: unsorted (lidx<<1|map) bits -> TokenPlan
+    arrays + per-block incompressibility bits."""
     real = lidx < (nbytes[:, None] // 4)
     is_map = ((up & 1) == 1) & real
     flags = is_map.astype(jnp.int32)

@@ -52,6 +52,8 @@ def _load():
             fn.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
                            ctypes.c_size_t, ctypes.c_void_p,
                            ctypes.c_size_t, ctypes.c_int]
+        lib.dtpu_stream_held.restype = ctypes.c_size_t
+        lib.dtpu_stream_held.argtypes = [ctypes.c_void_p, ctypes.c_int]
         _lib = lib
     except Exception as e:  # pragma: no cover - toolchain missing
         _load_error = e

@@ -900,8 +900,13 @@ struct DtpuStream {
   Lion li;
   Protection eprot, dprot;
   std::vector<uint8_t> ehold, dhold;
+  // Set when a decode overflow may have advanced dictionary state
+  // mid-call; every later call fails until reset() (a retry would
+  // re-apply state transitions to the held bytes and corrupt output).
+  bool poisoned = false;
   explicit DtpuStream(int c) : codec(c) {}
   size_t block() const { return codec == 0 ? 256 : codec == 1 ? 128 : 64; }
+  size_t sig_bytes() const { return codec == 2 ? 6 : 8; }
   void reset() {
     cham.reset();
     che.reset();
@@ -910,6 +915,7 @@ struct DtpuStream {
     dprot = Protection{};
     ehold.clear();
     dhold.clear();
+    poisoned = false;
   }
 };
 
@@ -994,14 +1000,29 @@ void dtpu_stream_reset(void* sp) { static_cast<DtpuStream*>(sp)->reset(); }
 
 // Feed `n` input bytes; writes encoded bytes for every COMPLETE block
 // (all buffered input when final_chunk). Returns bytes written, or
-// (size_t)-1 if out_cap is too small (no state is consumed then).
+// (size_t)-1 if out_cap cannot hold the worst-case encoding of the
+// pending blocks.  Capacity is validated BEFORE any codec state is
+// touched, so -1 really does mean "nothing consumed, retry with a
+// larger buffer" (the input bytes remain buffered either way).
 size_t dtpu_stream_encode(void* sp, const uint8_t* in, size_t n,
                           uint8_t* out, size_t out_cap, int final_chunk) {
   auto* s = static_cast<DtpuStream*>(sp);
+  if (s->poisoned) return static_cast<size_t>(-1);
   s->ehold.insert(s->ehold.end(), in, in + n);
   size_t avail = s->ehold.size();
   size_t take = final_chunk ? avail : avail / s->block() * s->block();
   if (take == 0) return 0;
+  // worst-case bound includes the extra per-block signature slack the
+  // encoder reserves mid-stream (encode_p checks op+blen+sig per block)
+  if (safe_size(take, s->block(), s->sig_bytes()) + s->sig_bytes() >
+      out_cap) {
+    if (final_chunk) return static_cast<size_t>(-1);
+    // encode as many whole blocks as provably fit; hold the rest
+    size_t blk = s->block(), sig = s->sig_bytes();
+    size_t fit = out_cap > sig ? (out_cap - sig) / (blk + sig) * blk : 0;
+    take = fit < take ? fit : take;
+    if (take == 0) return static_cast<size_t>(-1);
+  }
   size_t w;
   switch (s->codec) {
     case 0: w = s->cham.encode_p(s->ehold.data(), take, out, out_cap,
@@ -1011,7 +1032,10 @@ size_t dtpu_stream_encode(void* sp, const uint8_t* in, size_t n,
     default: w = s->li.encode_p(s->ehold.data(), take, out, out_cap,
                                 s->eprot); break;
   }
-  if (w == 0) return static_cast<size_t>(-1);  // out_cap too small
+  if (w == 0) {  // unreachable given the pre-check; fail closed
+    s->poisoned = true;
+    return static_cast<size_t>(-1);
+  }
   s->ehold.erase(s->ehold.begin(), s->ehold.begin() + take);
   return w;
 }
@@ -1038,11 +1062,31 @@ size_t dtpu_stream_decode(void* sp, const uint8_t* in, size_t n,
                                 out_cap, s->dprot, final_chunk,
                                 &consumed); break;
   }
-  if (w == 0 && consumed == 0 && out_cap < s->block()) {
-    return static_cast<size_t>(-1);
+  if (w == 0 && consumed == 0) {
+    // Legitimate zero: not enough buffered input for one provably
+    // complete block yet (decoder state untouched).
+    size_t need = s->sig_bytes() + s->block();
+    bool starved = !final_chunk && s->dhold.size() < need;
+    if (!starved) {
+      // Overflow (or malformed final tail): decode_p may already have
+      // advanced dictionary state for earlier blocks, so a retry with
+      // a larger buffer would double-apply state.  Poison the session
+      // until reset().
+      s->poisoned = true;
+      return static_cast<size_t>(-1);
+    }
   }
   s->dhold.erase(s->dhold.begin(), s->dhold.begin() + consumed);
   return w;
+}
+
+// Bytes currently buffered inside the session: which=0 -> encoder-side
+// input hold, which=1 -> decoder-side compressed hold.  Exported so
+// callers can size output buffers without re-deriving the retention
+// bound from the decoder's internal fast-loop criterion.
+size_t dtpu_stream_held(void* sp, int which) {
+  auto* s = static_cast<DtpuStream*>(sp);
+  return which == 0 ? s->ehold.size() : s->dhold.size();
 }
 
 }  // extern "C"

@@ -158,6 +158,41 @@ def compress(data: bytes, codec: str, stream_size: int = DEFAULT_STREAM_SIZE,
 # Decompression
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnames=("with_copy",))
+def _decode_batch_fast_cham(wbytes, in_word_off, is_copy, nb_real,
+                            out_len, with_copy=True):
+    """Chameleon TPU fast path: Pallas unpack kernel + bigsort map
+    resolution (engine/unlayout.py). Exact; always 'ok'."""
+    from density_tpu.engine import unlayout
+    words = _widen(wbytes)
+    out = unlayout.decode_chameleon_batch(
+        words, in_word_off, is_copy, nb_real, out_len,
+        use_kernel=True, with_copy=with_copy)
+    return out, jnp.ones(wbytes.shape[0], bool)
+
+
+def pick_decode_fn(codec, device_args, any_copy: bool):
+    """Host-level dispatch of the batched decode implementation.
+
+    The Pallas fast path needs a single TPU device and a power-of-two
+    quad capacity that is a multiple of the unpack group; everything
+    else (CPU meshes, ragged tails, multi-device shards) takes the XLA
+    path. Returns a callable (args...) -> (out_words, ok)."""
+    wbytes, woff = device_args[0], device_args[1]
+    n_q = woff.shape[1] * SPECS[codec].quads_per_block
+    pow2 = n_q >= 16384 and (n_q & (n_q - 1)) == 0
+    try:
+        devs = wbytes.devices()
+        plat = next(iter(devs)).platform
+    except Exception:  # noqa: BLE001
+        devs, plat = (), ""
+    if (codec == "chameleon" and pow2 and n_q % 16384 == 0
+            and len(devs) == 1 and plat in ("tpu", "axon")):
+        return functools.partial(_decode_batch_fast_cham,
+                                 with_copy=any_copy)
+    return functools.partial(_decode_batch, codec=codec)
+
+
 @functools.partial(jax.jit, static_argnames=("codec",))
 def _decode_batch(wbytes, in_word_off, is_copy, nb_real, out_len, codec):
     """Batched parallel decode. Returns (out_words, ok): ok[s] False
@@ -243,7 +278,8 @@ def decompress(data: bytes, mesh=None) -> bytes:
         return b""
     codec, device_args, streams, host_meta = decode_prep(data, mesh)
     original_len, out_lens, copyf, nb_real, s_real = host_meta
-    out_words, ok = _decode_batch(*device_args, codec)
+    fn = pick_decode_fn(codec, device_args, bool(copyf.any()))
+    out_words, ok = fn(*device_args)
     ok = _host_gather(ok)
     out_np = _host_gather(out_words.astype(jnp.uint16))
     redo = set(np.nonzero(~ok[:s_real])[0].tolist())

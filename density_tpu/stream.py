@@ -111,15 +111,16 @@ class StreamDecoder(_Session):
         w = self._lib.dtpu_stream_decode(self._st, bytes(data), len(data),
                                          out, cap, int(final))
         if w == ctypes.c_size_t(-1).value:
-            raise DecodeError("output buffer too small (internal)")
+            raise DecodeError(
+                "stream decode failed (output overflow or malformed "
+                "input); session is poisoned until reset()")
         if final:
             self._held = 0
             self._finished = True
         else:
-            # native consumed only provably-complete blocks; it retains
-            # the remainder internally (exact count is internal detail)
-            self._held = min(total,
-                             2 * spec.sig_words + spec.block_size - 1)
+            # exact retained-byte count from the native session (the
+            # decoder holds back bytes not yet provably complete)
+            self._held = int(self._lib.dtpu_stream_held(self._st, 1))
         return out.raw[:w]
 
     def update(self, data: bytes) -> bytes:
