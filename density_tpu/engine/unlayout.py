@@ -113,29 +113,117 @@ def flag_payload_words(flags, flag_bits):
     return jnp.where(flags == 0, 2, jnp.where(flags >= 6, 1, 0))
 
 
+HASH_MUL = 0x9D6EF916
+INV_MHALF = 0x11B00B23  # (HASH_MUL >> 1)^-1 mod 2^31
+
+
+def quad_cmp16(quad):
+    """16-bit exact quad fingerprint given the hash: low product bits
+    (their LSB is always 0 -- the multiplier is even) plus the quad's
+    top bit.  (hash, cmp16) <-> quad is a bijection."""
+    prod = quad.astype(jnp.uint32) * jnp.uint32(HASH_MUL)
+    return ((prod & 0xFFFF) >> 1) | ((quad.astype(jnp.uint32) >> 31)
+                                     << 15)
+
+
+def quad_from_cmp16(h, c16):
+    """Invert (hash, cmp16) -> quad."""
+    t = (c16 & 0x7FFF) << 1
+    P = (h.astype(jnp.uint32) << 16) | t
+    qlow = ((P >> 1) * jnp.uint32(INV_MHALF)) & jnp.uint32(0x7FFFFFFF)
+    return qlow | ((c16 & 0x8000).astype(jnp.uint32) << 16)
+
+
+def _chunked_fill_max(x, first, chunk):
+    """Inclusive segmented max along axis=1 (segments at `first`), in
+    fixed `chunk`-sized pieces with a cross-chunk carry sweep: keeps
+    the scan operands in 32 bits (position-in-chunk rides the packed
+    value) and the associative_scan windows short.  x: (S, N) uint32
+    with 0 = 'nothing'."""
+    S, N = x.shape
+    nch = N // chunk
+    pos = (jnp.arange(N, dtype=jnp.int32)[None, :] % chunk)
+    firstl = first | (pos == 0)
+    x3 = x.reshape(S, nch, chunk)
+    f3 = firstl.reshape(S, nch, chunk)
+
+    def combine(a, b):
+        va, fa = a
+        vb, fb = b
+        return jnp.where(fb, vb, jnp.maximum(va, vb)), fa | fb
+
+    scan, _ = jax.lax.associative_scan(combine, (x3, f3), axis=2)
+
+    if nch > 1:
+        # cross-chunk carries: chunk k's trailing-segment max feeds
+        # chunk k+1's leading run when the group continues across the
+        # boundary (global `first` False at the chunk start)
+        b3 = (first & (pos != 0)).reshape(S, nch, chunk)
+        has_bound = jnp.cumsum(b3, axis=2) > 0
+        in_first_run = ~has_bound
+        spans_whole = ~has_bound[:, :, -1]
+        last_val = scan[:, :, -1]
+        connect = ~first.reshape(S, nch, chunk)[:, :, 0]
+        # Packed positions are chunk-LOCAL, so values from different
+        # chunks must never meet in a max: a chunk's own (later) fill
+        # always beats the carry; the carry only covers positions with
+        # no in-chunk plain yet.
+        carry = jnp.zeros((S,), x.dtype)
+        carries = [carry]
+        for k in range(1, nch):
+            carry = jnp.where(
+                connect[:, k],
+                jnp.where(last_val[:, k - 1] != 0, last_val[:, k - 1],
+                          jnp.where(spans_whole[:, k - 1], carry, 0)),
+                0)
+            carries.append(carry)
+        call = jnp.stack(carries, axis=1)  # (S, nch)
+        scan = jnp.where(in_first_run & (scan == 0), call[:, :, None],
+                         scan)
+    return scan.reshape(S, N)
+
+
 def resolve_chameleon(is_map, is_plain, h, plain_quad, interpret=False):
     """Resolve chameleon map tokens on the Pallas sorter.
 
     All inputs (S, N), N a power of two >= 256.  A map token's value is
     the payload quad of the latest preceding plain token with the same
-    hash (zero if none -- the zero-initialized dictionary).  Two sorts:
-    forward by (hash, index) with the plain payload carried, one
-    inclusive segmented fill, and a sort back by index.
+    hash (zero if none -- the zero-initialized dictionary, reference
+    chameleon.rs:56-68).  Sort operands are minimal: the forward sort
+    carries TWO i32 arrays (hash+index | index+is_plain+fingerprint),
+    the fill is a chunked unsigned max-scan over packed
+    (position, fingerprint), and map values are reconstructed from
+    (hash, fingerprint) by modular inversion.
     """
     from density_tpu.kernels import bigsort
     S, N = is_map.shape
-    sb = max(0, (N - 1).bit_length() - 16)
+    sbh = max(0, (N - 1).bit_length() - 15)  # index bits above 15
     idx = jnp.arange(N, dtype=jnp.int32)[None, :]
-    k1 = (h.astype(jnp.int32) << sb) | (idx >> 16)
-    k2 = ((idx & 0xFFFF) << 1) | is_plain.astype(jnp.int32)
-    v = jnp.where(is_plain, plain_quad, 0).astype(jnp.int32)
-    k1s, k2s, vs = bigsort.sort(k1, k2, v, n_keys=2, interpret=interpret)
-    grp = k1s >> sb
+    c16 = quad_cmp16(plain_quad)
+    k1 = (h.astype(jnp.int32) << sbh) | (idx >> 15)
+    bias = jnp.int32(-2**31)
+    k2 = ((((idx.astype(jnp.uint32) & 0x7FFF) << 17)
+           | (is_plain.astype(jnp.uint32) << 16)
+           | jnp.where(is_plain, c16, 0)).astype(jnp.int32) ^ bias)
+    k1s, k2s = bigsort.sort(k1, k2, n_keys=2, interpret=interpret)
+    k2u = (k2s ^ bias).astype(jnp.uint32)
+    grp = k1s >> sbh
     first = grp != _shift1(grp, -1)
-    isp = (k2s & 1) == 1
-    fill = seg_fill_last(first, vs, isp)
-    idx_back = ((k1s & ((1 << sb) - 1)) << 16) | (k2s >> 1)
-    _, vr = bigsort.sort(idx_back, fill, n_keys=1, interpret=interpret)
+    isp = (k2u >> 16) & 1 == 1
+    c16s = k2u & 0xFFFF
+
+    chunk = min(1 << 15, N)
+    pos = (jnp.arange(N, dtype=jnp.uint32)[None, :] % chunk)
+    x = jnp.where(isp, ((pos + 1) << 16) | c16s, 0)
+    fill = _chunked_fill_max(x, first, chunk)
+    has = fill != 0
+    q_rec = quad_from_cmp16(grp.astype(jnp.uint32), fill & 0xFFFF)
+    resolved_s = jnp.where(has, q_rec, 0).astype(jnp.int32)
+
+    idx_back = (((k1s & ((1 << sbh) - 1)) << 15)
+                | ((k2u >> 17) & 0x7FFF).astype(jnp.int32))
+    _, vr = bigsort.sort(idx_back, resolved_s, n_keys=1,
+                         interpret=interpret)
     return jnp.where(is_map, vr.astype(jnp.uint32), plain_quad)
 
 
@@ -158,19 +246,21 @@ def decode_chameleon_batch(words, woff, is_copy, nb_real, out_len,
     NB = woff.shape[1]
     N = NB * Q
 
-    if use_kernel:
-        from density_tpu.kernels import unpack
-        flags, w0, w1 = unpack.unpack(
-            words, woff, q=Q, sig_words=SIG_WORDS, flag_bits=1,
-            interpret=interpret)
-    else:
-        flags, w0, w1 = extract_tokens_xla(words, woff, Q, SIG_WORDS, 1)
-
     bidx = jnp.arange(NB, dtype=jnp.int32)[None, :]
     is_real_block = bidx < nb_real[:, None]
     kidx = jnp.arange(N, dtype=jnp.int32)[None, :]
     block_of = kidx // Q
     real = kidx < (out_len[:, None] // 4)
+
+    if use_kernel:
+        from density_tpu.kernels import unpack
+        woff_k = jnp.where(is_real_block, woff, -1)
+        flags, w0, w1 = unpack.unpack(
+            words, woff_k, is_copy, q=Q, sig_words=SIG_WORDS,
+            flag_bits=1, interpret=interpret)
+    else:
+        flags, w0, w1 = extract_tokens_xla(words, woff, Q, SIG_WORDS, 1)
+
     blk_ok = (is_real_block & ~is_copy)
     valid = real & jnp.take_along_axis(blk_ok, block_of, axis=1)
 
@@ -182,15 +272,22 @@ def decode_chameleon_batch(words, woff, is_copy, nb_real, out_len,
     quads = resolve_chameleon(is_map, is_plain, h, plain_quad,
                               interpret=interpret)
 
-    # dense interleave: quad k -> output words 2k, 2k+1
+    if with_copy and use_kernel:
+        # copy blocks flow through the unpack routing as raw halfword
+        # pairs, so the interleave below needs no gather at all; the
+        # ragged final quad of a trailing copy block is included (its
+        # raw words are real data, host-side trimming cuts to out_len)
+        real_pad = kidx < ((out_len[:, None] + 3) // 4)
+        in_copy = real_pad & jnp.take_along_axis(
+            is_copy & is_real_block, block_of, axis=1)
+        quads = jnp.where(in_copy, plain_quad, quads)
+        valid = valid | in_copy
     lo = jnp.where(valid, quads & 0xFFFF, 0)
     hi = jnp.where(valid, quads >> 16, 0)
     out_words = jnp.stack([lo, hi], axis=-1).reshape(S, 2 * N)
 
-    if with_copy:
-        # copy blocks: raw input words at dense output positions (a
-        # full-width gather -- only traced when the host has seen at
-        # least one copy block in the batch)
+    if with_copy and not use_kernel:
+        # XLA path: raw copy words via a full-width gather
         w_per_block = BLOCK // 2
         widx = jnp.arange(NB * w_per_block, dtype=jnp.int32)[None, :]
         wb = widx // w_per_block

@@ -1,33 +1,46 @@
-"""Pallas block-stream unpack kernel (decode token extraction).
+"""Pallas block-stream unpack kernels (decode token extraction).
 
 The decode mirror of kernels/pack.py: turns compressed block streams
-into dense per-quad (flags, w0, w1) token lattices without a single
-XLA gather (computed-index gathers cost ~15 ns/element on v5e -- the
-dominant round-2 decode cost).
+into dense per-quad (flags, w0, w1) token lattices with NO XLA gathers
+and NO per-token one-hot matmuls.  Everything rides two routing
+primitives built from log-many conditional flat shifts (VPU rolls):
+
+  * compact-left: move kept elements left by h = #dropped-before
+    (LSB->MSB conditional shifts, elements carry their remaining h);
+  * expand-right: move live elements right by a per-SOURCE displacement
+    (the exact reverse schedule, MSB->LSB).
+
+Both are exact for the monotone displacements this layout produces
+(verified against brute force; tests/test_unpack_decode.py).  The
+work splits into two kernels with a thin XLA stage between them (the
+middle stage is dense bit math; keeping it in XLA sidesteps in-kernel
+relayouts Mosaic cannot compile):
+
+  kernel 1 (per stream x quad-group):
+    a. route block-start markers into the window (expand-right from
+       the block-index domain) and smear them sig_words wide;
+    b. compact-left the window by the signature mask -> signature
+       words in block-major order;
+    c. compact-left the window by the payload mask -> the payload
+       halfword stream `comp` (sig-stripped).
+  XLA: signature words -> per-quad flags (reference bit order
+    write_signature.rs:14-17; lion's 6-byte straddle lion.rs:334-351),
+    payload sizes pw (plain=2, map=1, predicted=0 -- chameleon.rs:18-22,
+    cheetah.rs:19-21, lion.rs:19-25), intra-block prefix sums ->
+    every token's position c(t) in `comp`.
+  kernel 2: expand-right token markers to positions c(t); one final
+    compact-left of (comp, comp<<1word) by those markers yields w0/w1
+    aligned to the token lattice.
+
+Copy blocks (blowup protection, protection_state.rs) need no separate
+path: they are modeled as 2*Q raw halfword tokens starting at the
+block offset (no signature), so their payload flows through the same
+routing and w0/w1 hold the raw words -- the caller's interleave stage
+needs no copy-block gather at all.
 
 Layout being decoded (reference: src/codec/codec.rs:82-126): each
-block is [signature][payload halfwords...], block word offsets come
-from the host stream scanner.  Per grid step (stream, group of GQ
-quads):
-
-  * the input window covering the group's blocks is DMA'd HBM->VMEM
-    (block offsets are monotone, so one contiguous window suffices);
-  * signature words are pulled from the window by a one-hot matmul
-    triple (extract rows on the MXU, select columns, fold back to a
-    (rows, 128) lattice with static fold matrices -- all MXU work, no
-    vector relayouts);
-  * flags are broadcast from signature words to quad lanes by one more
-    static-pattern fold matmul, then payload sizes and intra-block
-    prefix sums give every token's word position;
-  * payload halfwords (w0, w1) are pulled by the same extract triple.
-
-Exactness: one-hot operands are 0/1 in bf16; window values are split
-into byte planes (<= 255, exact in bf16); accumulation is f32; the
-recombined value is an exact u16.
-
-Copy blocks and blocks past the real end produce garbage tokens that
-the caller masks with its validity lattice (offsets stay monotone, so
-they never corrupt other blocks' extraction).
+block is [signature][payload halfwords...]; block word offsets come
+from the host stream scanner.
 """
 
 from __future__ import annotations
@@ -42,130 +55,240 @@ from jax.experimental.pallas import tpu as pltpu
 
 GQ = 16384   # quads per grid group
 QROWS = GQ // 128  # 128
-TQR = 16     # quad-rows per tile
-TILES = QROWS // TQR
 
 
 def _geom(q: int, sig_words: int):
     """Static geometry for one codec."""
     nbg = GQ // q                      # blocks per group
     span = sig_words + 2 * q + 2       # max words per block (+ragged)
-    wrows = -(-(-(-nbg * span // 128) + 2) // 8) * 8  # window rows (8-mult)
-    nbt = TQR * 128 // q               # blocks per tile
-    tw = -(-(-(-nbt * span // 128) + 2) // 8) * 8     # tile window rows
-    srows_g = nbg * sig_words // 128   # sig-token rows per group
-    srows_t = nbt * sig_words // 128   # sig-token rows per tile
-    return nbg, span, wrows, nbt, tw, srows_g, srows_t
+    wrows = -(-(-(-nbg * span // 128) + 2) // 8) * 8  # window rows
+    srows = max(8, nbg * sig_words // 128)  # sig rows (8-aligned)
+    brows = max(8, -(-nbg // 128))     # block-index rows (8-aligned)
+    return nbg, span, wrows, srows, brows
 
 
-def _fold_mats(q: int, sig_words: int, flag_bits: int):
-    """Static one-hot fold matrices (numpy, passed as kernel inputs).
+# ---------------------------------------------------------------------------
+# flat-shift routing primitives (2D (rows, 128) arrays, row-major flat
+# order; shifts fill with `fill`)
+# ---------------------------------------------------------------------------
 
-    Dr/Dc: fold a (T=TQR*128,) token-major vector back onto the
-    (TQR, 128) lattice: token t -> (t // 128, t % 128).
-    U2/V2[/V2b]: broadcast sig-token values onto quad lanes: quad lane
-    (r, c) needs sig word k(c) of its block; for lion (3-bit flags) a
-    second pattern V2b selects word k+1 (zero column when k+1 == 3,
-    matching the zero-padded 6-byte signature read, lion.rs:339-351).
-    """
-    T = TQR * 128
-    t = np.arange(T)
-    dr = (t[:, None] // 128 == np.arange(TQR)[None, :])
-    dc = (t[:, None] % 128 == np.arange(128)[None, :])
-
-    nbt = TQR * 128 // q
-    bpt = 128 // q  # blocks per quad-row
-    ts = np.arange(nbt * sig_words)
-    b_t = ts // sig_words
-    k_t = ts % sig_words
-    c = np.arange(128)
-    if flag_bits == 3:
-        kc = (3 * (c % q)) // 16
-    else:
-        kc = (c % q) // (16 // flag_bits)
-    u2 = (b_t[:, None] // bpt == np.arange(TQR)[None, :])
-    v2 = ((b_t[:, None] % bpt == (c // q)[None, :])
-          & (k_t[:, None] == kc[None, :]))
-    mats = dict(dr=dr, dc=dc, u2=u2, v2=v2)
-    if flag_bits == 3:
-        mats["v2b"] = ((b_t[:, None] % bpt == (c // q)[None, :])
-                       & (k_t[:, None] == kc[None, :] + 1)
-                       & (k_t[:, None] < sig_words))
-    return {k: v.astype(np.float32) for k, v in mats.items()}
-
-
-def _extract(window, rel, valid, tw):
-    """Extract window halfword values at `rel` (element offsets into
-    the (tw, 128) window tile) for each token of a lattice.
-
-    rel/valid: (rows, 128).  Returns (zz_lo, zz_hi): (rows*128, TQR)
-    f32, every column holding the token's byte-plane value (the
-    column-broadcast form all fold matmuls consume).
-    """
-    rows = rel.shape[0]
-    T = rows * 128
-    rid = rel // 128
-    cid = rel % 128
-    ok = valid & (rel >= 0) & (rid < tw)
-    okm = jnp.where(ok, 1, 0)
-    r3 = ((rid[..., None] == jax.lax.broadcasted_iota(
-        jnp.int32, (rows, 128, tw), 2)).astype(jnp.int32)
-        * okm[..., None])
-    c3 = (cid[..., None] == jax.lax.broadcasted_iota(
-        jnp.int32, (rows, 128, 128), 2)).astype(jnp.int32)
-    R = r3.reshape(T, tw).astype(jnp.bfloat16)
-    C = c3.reshape(T, 128)
-
-    wlo = (window & 255).astype(jnp.bfloat16)
-    whi = (window >> 8).astype(jnp.bfloat16)
-    wcat = jnp.concatenate([wlo, whi], axis=1)  # (tw, 256)
-    tmp = jax.lax.dot_general(
-        R, wcat, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)  # (T, 256)
-    z_lo = (tmp[:, :128].astype(jnp.bfloat16)
-            * C.astype(jnp.bfloat16))
-    z_hi = (tmp[:, 128:].astype(jnp.bfloat16)
-            * C.astype(jnp.bfloat16))
-    ones = jnp.ones((128, TQR), jnp.bfloat16)
-    zz_lo = jax.lax.dot_general(
-        z_lo, ones, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    zz_hi = jax.lax.dot_general(
-        z_hi, ones, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    return zz_lo, zz_hi
+def _fshift(x, s: int, fill):
+    """Flat shift right by s (s may be negative = left)."""
+    rows = x.shape[0]
+    if s == 0:
+        return x
+    flat = (jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) * 128
+            + jax.lax.broadcasted_iota(jnp.int32, x.shape, 1))
+    n = rows * 128
+    if s > 0:
+        a, b = divmod(s, 128)
+        y = x
+        if b:
+            y = pltpu.roll(y, b, axis=1)
+            yp = pltpu.roll(y, 1, axis=0)
+            lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+            y = jnp.where(lane >= b, y, yp)
+        if a:
+            y = pltpu.roll(y, a, axis=0)
+        return jnp.where(flat >= s, y, fill)
+    s = -s
+    a, b = divmod(s, 128)
+    y = x
+    if b:
+        y = pltpu.roll(y, 128 - b, axis=1)
+        yn = pltpu.roll(y, rows - 1, axis=0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        y = jnp.where(lane < 128 - b, y, yn)
+    if a:
+        y = pltpu.roll(y, rows - a, axis=0)
+    return jnp.where(flat < n - s, y, fill)
 
 
-def _fold(zz_lo, zz_hi, drm, dcm, out_rows):
-    """Fold column-broadcast token values onto a (out_rows, 128)
-    lattice via dot_general over the token dimension."""
-    ylo = jax.lax.dot_general(
-        (drm[:, :out_rows] * zz_lo[:, :out_rows]).astype(jnp.bfloat16),
-        dcm.astype(jnp.bfloat16),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    yhi = jax.lax.dot_general(
-        (drm[:, :out_rows] * zz_hi[:, :out_rows]).astype(jnp.bfloat16),
-        dcm.astype(jnp.bfloat16),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    return ylo.astype(jnp.int32) + (yhi.astype(jnp.int32) << 8)
-
-
-def _lane_seg_cumsum(x, seg: int):
-    """Inclusive cumsum along lanes within `seg`-lane segments."""
-    c = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+def _flat_cumsum_excl(x):
+    """Exclusive flat cumsum of x (rows, 128) int32."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     acc = x
     sh = 1
-    while sh < seg:
-        rolled = pltpu.roll(acc, sh, axis=x.ndim - 1)
-        acc = acc + jnp.where((c % seg) >= sh, rolled, 0)
+    while sh < 128:
+        acc = acc + jnp.where(lane >= sh,
+                              pltpu.roll(acc, sh, axis=1), 0)
         sh *= 2
-    return acc
+    rows = x.shape[0]
+    tot = acc[:, 127:128]  # inclusive row totals
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    ro = jnp.where(r >= 1, pltpu.roll(tot, 1, axis=0), 0)
+    sh = 1
+    while sh < rows:
+        ro = ro + jnp.where(r >= sh + 1, pltpu.roll(ro, sh, axis=0), 0)
+        sh *= 2
+    return ro + acc - x
 
 
-def _flag_pw(flags, flag_bits):
-    """flag -> payload halfwords (see unlayout.flag_payload_words)."""
+def _compact_left(arrays, h, keep, max_disp: int):
+    """Move kept elements left by h = #dropped-before (precomputed).
+    arrays: list of (rows,128) i32 value arrays; h only meaningful
+    where keep.  Returns routed arrays + arrival mask."""
+    hh = jnp.where(keep, h, -1)
+    K = max(1, (max_disp).bit_length())
+    vs = list(arrays)
+    for k in range(K):
+        s = 1 << k
+        yh = _fshift(hh, -s, jnp.int32(-1))
+        yv = [_fshift(v, -s, jnp.int32(0)) for v in vs]
+        take = (yh >= 0) & (((yh >> k) & 1) == 1)
+        stay = (hh >= 0) & (((hh >> k) & 1) == 0)
+        vs = [jnp.where(take, y, jnp.where(stay, v, 0))
+              for y, v in zip(yv, vs)]
+        hh = jnp.where(take, yh - s, jnp.where(stay, hh, -1))
+    return vs, hh == 0
+
+
+def _expand_right(arrays, e, live, max_disp: int):
+    """Move live elements right by per-source displacement e
+    (nondecreasing over live sources, distinct destinations)."""
+    hh = jnp.where(live, e, -1)
+    K = max(1, (max_disp).bit_length())
+    vs = list(arrays)
+    for k in reversed(range(K)):
+        s = 1 << k
+        yh = _fshift(hh, s, jnp.int32(-1))
+        yv = [_fshift(v, s, jnp.int32(0)) for v in vs]
+        take = (yh >= 0) & (((yh >> k) & 1) == 1)
+        stay = (hh >= 0) & (((hh >> k) & 1) == 0)
+        vs = [jnp.where(take, y, jnp.where(stay, v, 0))
+              for y, v in zip(yv, vs)]
+        hh = jnp.where(take, yh - s, jnp.where(stay, hh, -1))
+    return vs, hh == 0
+
+
+def _make_kernel1(q, sig_words):
+    nbg, span, wrows, srows, brows = _geom(q, sig_words)
+    nwin = wrows * 128
+
+    def kernel(window_ref, wofff_ref, cpf_ref, out_sig, out_comp):
+        window = window_ref[0]
+        flat_w = (jax.lax.broadcasted_iota(jnp.int32, (wrows, 128), 0)
+                  * 128
+                  + jax.lax.broadcasted_iota(jnp.int32, (wrows, 128), 1))
+
+        # --- pass 0: block-start markers into the window domain -----
+        wf = wofff_ref[0]   # (brows, 128) flat block offsets (rebased)
+        cf = cpf_ref[0]     # (brows, 128) copy flags
+        bflat = (jax.lax.broadcasted_iota(jnp.int32, (brows, 128), 0)
+                 * 128
+                 + jax.lax.broadcasted_iota(jnp.int32, (brows, 128), 1))
+        e0 = jnp.concatenate(
+            [wf - bflat, jnp.zeros((wrows - brows, 128), jnp.int32)],
+            axis=0)
+        live0 = jnp.concatenate(
+            [(wf >= 0) & (bflat < nbg),
+             jnp.zeros((wrows - brows, 128), jnp.bool_)], axis=0)
+        cf_pad = jnp.concatenate(
+            [cf, jnp.zeros((wrows - brows, 128), jnp.int32)], axis=0)
+        (cp_w,), arrived = _expand_right([cf_pad], e0, live0, nwin - 1)
+        start_all = arrived
+        start_nc = arrived & (cp_w == 0)
+
+        # smear sig_words wide (copy blocks get pseudo-signature reads
+        # so the block-major signature layout stays dense; their flags
+        # are overridden by the XLA stage)
+        sig_keep = start_all
+        sig_drop = start_nc
+        for i in range(1, sig_words):
+            sig_keep = sig_keep | _fshift(start_all.astype(jnp.int32),
+                                          i, 0).astype(jnp.bool_)
+            sig_drop = sig_drop | _fshift(start_nc.astype(jnp.int32),
+                                          i, 0).astype(jnp.bool_)
+
+        w0s = jnp.clip(wofff_ref[0, 0, 0], 0, nwin - 1)
+        in_block = flat_w >= w0s
+        pay_keep = in_block & ~sig_drop
+
+        # --- pass 1: signature words ---------------------------------
+        h_sig = _flat_cumsum_excl((~sig_keep).astype(jnp.int32))
+        (sig_c,), _ = _compact_left([window], h_sig, sig_keep, nwin - 1)
+        out_sig[0] = sig_c[0:srows, :]
+
+        # --- pass 2: payload stream ----------------------------------
+        h_pay = _flat_cumsum_excl((~pay_keep).astype(jnp.int32))
+        (comp,), _ = _compact_left([window], h_pay, pay_keep, nwin - 1)
+        out_comp[0] = comp
+
+    return kernel
+
+
+def _make_kernel2(q, sig_words):
+    nbg, span, wrows, srows, brows = _geom(q, sig_words)
+    nwin = wrows * 128
+
+    def kernel(comp_ref, c3_ref, out_w0, out_w1):
+        comp = comp_ref[0]
+        c3 = c3_ref[0]          # (QROWS, 128); -1 marks no-payload
+        live = c3 >= 0
+        pad = jnp.zeros((wrows - QROWS, 128), jnp.int32)
+        c3w = jnp.concatenate([c3, pad], axis=0)
+        livew = jnp.concatenate(
+            [live, pad.astype(jnp.bool_)], axis=0)
+
+        # token -> payload-position routing in two monotone hops:
+        # compact to the live-token RANK domain (displacement
+        # #no-payload-before, nondecreasing), then expand by
+        # c(rank) - rank (= #2-word tokens before, nondecreasing) --
+        # the direct c(t) - t displacement is sign-mixed once 0-payload
+        # (predicted) tokens exist
+        flat_w = (jax.lax.broadcasted_iota(jnp.int32, (wrows, 128), 0)
+                  * 128
+                  + jax.lax.broadcasted_iota(jnp.int32, (wrows, 128), 1))
+        h1 = _flat_cumsum_excl((~livew).astype(jnp.int32))
+        (c_r, t_r), rankm = _compact_left([c3w, flat_w], h1, livew,
+                                          nwin - 1)
+        e2 = c_r - flat_w
+        _, keep0 = _expand_right([], e2, rankm & (e2 >= 0), nwin - 1)
+
+        comp1 = _fshift(comp, -1, jnp.int32(0))
+        h0 = _flat_cumsum_excl((~keep0).astype(jnp.int32))
+        (w0r, w1r), _ = _compact_left([comp, comp1], h0, keep0,
+                                      nwin - 1)
+        # rank order -> token lattice (displacement #no-payload-before)
+        et = t_r - flat_w
+        (w0t, w1t), _ = _expand_right([w0r, w1r], et,
+                                      rankm & (et >= 0), nwin - 1)
+        out_w0[0] = jnp.where(live, w0t[0:QROWS, :], 0)
+        out_w1[0] = jnp.where(live, w1t[0:QROWS, :], 0)
+
+    return kernel
+
+
+def flags_from_sig(sig3, q, sig_words, flag_bits):
+    """Per-quad flags from block-major signature words.
+    sig3: (S, NB, sig_words) int32.  Dense/static selects only."""
+    S, NB, _ = sig3.shape
+    qq = jnp.arange(q, dtype=jnp.int32)
+    if flag_bits == 3:
+        bitpos = 3 * qq
+        wi = bitpos // 16
+        off = bitpos % 16
+        lo = sum(jnp.where(wi[None, None, :] == k, sig3[:, :, k:k + 1], 0)
+                 for k in range(sig_words))
+        hi = sum(jnp.where(wi[None, None, :] + 1 == k,
+                           sig3[:, :, k:k + 1], 0)
+                 for k in range(sig_words))
+        flags = ((lo >> off[None, None, :])
+                 | (hi << (16 - off)[None, None, :])) & 7
+    else:
+        per_word = 16 // flag_bits
+        wi = qq // per_word
+        wsel = sum(jnp.where(wi[None, None, :] == k,
+                             sig3[:, :, k:k + 1], 0)
+                   for k in range(sig_words))
+        sh = flag_bits * (qq % per_word)
+        flags = (wsel >> sh[None, None, :]) & ((1 << flag_bits) - 1)
+    return flags.reshape(S, NB * q)
+
+
+def flag_payload_words(flags, flag_bits):
+    """flag -> payload halfwords: plain(0)->2, map->1, predicted->0
+    (reference: chameleon.rs:18-22, cheetah.rs:19-21, lion.rs:19-25)."""
     if flag_bits == 1:
         return jnp.where(flags == 0, 2, 1)
     if flag_bits == 2:
@@ -173,108 +296,28 @@ def _flag_pw(flags, flag_bits):
     return jnp.where(flags == 0, 2, jnp.where(flags >= 6, 1, 0))
 
 
-def _make_kernel(q, sig_words, flag_bits):
-    nbg, span, wrows, nbt, tw, srows_g, srows_t = _geom(q, sig_words)
-    has_v2b = flag_bits == 3
-    per_word = 16 // flag_bits if flag_bits != 3 else None
-
-    def kernel(window_ref, boffq_ref, sigpos_ref,
-               dr_ref, dc_ref, u2_ref, *rest):
-        if has_v2b:
-            v2_ref, v2b_ref = rest[0], rest[1]
-            rest = rest[2:]
-        else:
-            v2_ref = rest[0]
-            rest = rest[1:]
-        out_f, out_w0, out_w1 = rest[:3]
-
-        lane = jax.lax.broadcasted_iota(jnp.int32, (TQR, 128), 1)
-        for t in range(TILES):
-            boffq_sl = boffq_ref[0, t * TQR:(t + 1) * TQR, :]
-            # tile window start (window-relative, 128-row aligned);
-            # positions come in pre-rebased to the group window
-            tr0 = jnp.clip(boffq_ref[0, t * TQR, 0] // 128,
-                           0, wrows - tw)
-            base = tr0 * 128
-            wt = window_ref[0, pl.ds(tr0, tw), :]
-
-            # --- signature words -> flags --------------------------
-            sp = sigpos_ref[0, t * srows_t:(t + 1) * srows_t, :]
-            zz_lo, zz_hi = _extract(wt, sp - base,
-                                    jnp.full(sp.shape, True), tw)
-            sw_lat_lo = jax.lax.dot_general(
-                (u2_ref[...] * zz_lo[:, :TQR]).astype(jnp.bfloat16),
-                v2_ref[...].astype(jnp.bfloat16),
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            sw_lat_hi = jax.lax.dot_general(
-                (u2_ref[...] * zz_hi[:, :TQR]).astype(jnp.bfloat16),
-                v2_ref[...].astype(jnp.bfloat16),
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            w_k = (sw_lat_lo.astype(jnp.int32)
-                   + (sw_lat_hi.astype(jnp.int32) << 8))
-            if has_v2b:
-                nx_lo = jax.lax.dot_general(
-                    (u2_ref[...] * zz_lo[:, :TQR]).astype(jnp.bfloat16),
-                    v2b_ref[...].astype(jnp.bfloat16),
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                nx_hi = jax.lax.dot_general(
-                    (u2_ref[...] * zz_hi[:, :TQR]).astype(jnp.bfloat16),
-                    v2b_ref[...].astype(jnp.bfloat16),
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                w_k1 = (nx_lo.astype(jnp.int32)
-                        + (nx_hi.astype(jnp.int32) << 8))
-                off = (3 * (lane % q)) % 16
-                flags = ((w_k >> off) | (w_k1 << (16 - off))) & 7
-            else:
-                sh = flag_bits * (lane % q) % (flag_bits * per_word)
-                flags = (w_k >> sh) & ((1 << flag_bits) - 1)
-
-            # --- token positions -----------------------------------
-            pw = _flag_pw(flags, flag_bits)
-            intra = _lane_seg_cumsum(pw, q) - pw
-            pos0 = boffq_sl + sig_words + intra
-            rel0 = pos0 - base
-
-            zz0l, zz0h = _extract(wt, rel0, pw >= 1, tw)
-            w0 = _fold(zz0l, zz0h, dr_ref[...], dc_ref[...], TQR)
-            zz1l, zz1h = _extract(wt, rel0 + 1, pw == 2, tw)
-            w1 = _fold(zz1l, zz1h, dr_ref[...], dc_ref[...], TQR)
-
-            sl = slice(t * TQR, (t + 1) * TQR)
-            out_f[0, sl, :] = flags
-            out_w0[0, sl, :] = w0
-            out_w1[0, sl, :] = w1
-
-    return kernel
-
-
 @functools.partial(jax.jit, static_argnames=("q", "sig_words",
                                              "flag_bits", "interpret"))
-def unpack(words, woff, *, q, sig_words, flag_bits, interpret=False):
+def unpack(words, woff, is_copy=None, *, q, sig_words, flag_bits,
+           interpret=False):
     """Extract (flags, w0, w1) token lattices from compressed streams.
 
     words: (S, W) uint32 halfword values; woff: (S, NB) int32 block
-    word offsets (monotone over real blocks; anything after them must
-    be zero-padded).  NB*q must be a multiple of 16384.
-    Returns (flags, w0, w1), each (S, NB*q) int32.
-
-    The per-group input windows are materialized by XLA (row-granular
-    dynamic slices -- cheap contiguous copies) rather than DMA'd
-    manually inside the kernel: on the axon-tunneled v5e, manual
-    ANY-space DMAs combined with multiple pipelined buffers faulted
-    the TPU worker, while the all-blocked pipeline (the pack.py /
-    bigsort.py pattern) is solid.
+    word offsets (monotone over real blocks); is_copy: (S, NB) bool or
+    None.  Blocks after the real end must have woff < 0 (sentinel).
+    NB*q must be a multiple of 16384.
+    Returns (flags, w0, w1), each (S, NB*q) int32.  Copy blocks yield
+    flags == 0 and w0/w1 == their raw halfword pairs.
     """
     S, W = words.shape
     NB = woff.shape[1]
     N = NB * q
     assert N % GQ == 0, N
     n_groups = N // GQ
-    nbg, span, wrows, nbt, tw, srows_g, srows_t = _geom(q, sig_words)
+    nbg, span, wrows, srows, brows = _geom(q, sig_words)
+
+    if is_copy is None:
+        is_copy = jnp.zeros((S, NB), jnp.bool_)
 
     # pad the word array to whole 128-lane rows and >= one window
     wr_total = max(-(-W // 128), wrows)
@@ -282,56 +325,78 @@ def unpack(words, woff, *, q, sig_words, flag_bits, interpret=False):
     wpad = jnp.pad(words.astype(jnp.int32), ((0, 0), (0, pad)))
     w3 = wpad.reshape(S, wr_total, 128)
 
-    # per-group windows + window-relative positions (prepared in XLA)
-    row_start = jnp.clip(woff[:, ::nbg] // 128, 0, wr_total - wrows)
+    # per-group windows (XLA row-granular dynamic slices) + rebased
+    # offsets; dead blocks keep a negative sentinel
+    woff_first = jnp.where(woff[:, ::nbg] < 0, 0, woff[:, ::nbg])
+    row_start = jnp.clip(woff_first // 128, 0, wr_total - wrows)
 
     def slice_windows(w3s, rss):
         return jax.vmap(lambda r: jax.lax.dynamic_slice(
             w3s, (r, 0), (wrows, 128)))(rss)
 
-    windows = jax.vmap(slice_windows)(w3, row_start)  # (S,G,wrows,128)
+    windows = jax.vmap(slice_windows)(w3, row_start)
     windows = windows.reshape(S, n_groups * wrows, 128)
 
-    base_q = jnp.repeat(row_start * 128, GQ, axis=1)
-    boffq = (jnp.repeat(woff, q, axis=1) - base_q).reshape(
-        S, N // 128, 128)
-    base_s = jnp.repeat(row_start * 128, nbg * sig_words, axis=1)
-    sigpos = (jnp.repeat(woff, sig_words, axis=1)
-              + jnp.tile(jnp.arange(sig_words, dtype=woff.dtype),
-                         (1, NB))
-              - base_s).reshape(S, NB * sig_words // 128, 128)
+    base = jnp.repeat(row_start * 128, nbg, axis=1)
+    woff_rel = jnp.where(woff < 0, jnp.int32(-(1 << 20)), woff - base)
+    nbf = brows * 128
+    wofff = jnp.pad(woff_rel.reshape(S, n_groups, nbg),
+                    ((0, 0), (0, 0), (0, nbf - nbg))
+                    ).reshape(S, n_groups * brows, 128)
+    cpf = jnp.pad(is_copy.astype(jnp.int32).reshape(S, n_groups, nbg),
+                  ((0, 0), (0, 0), (0, nbf - nbg))
+                  ).reshape(S, n_groups * brows, 128)
 
-    mats = _fold_mats(q, sig_words, flag_bits)
-    kernel = _make_kernel(q, sig_words, flag_bits)
+    sig_lat, comp = pl.pallas_call(
+        _make_kernel1(q, sig_words),
+        grid=(S, n_groups),
+        in_specs=[
+            pl.BlockSpec((1, wrows, 128), lambda s, g: (s, g, 0)),
+            pl.BlockSpec((1, brows, 128), lambda s, g: (s, g, 0)),
+            pl.BlockSpec((1, brows, 128), lambda s, g: (s, g, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, srows, 128), lambda s, g: (s, g, 0)),
+            pl.BlockSpec((1, wrows, 128), lambda s, g: (s, g, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((S, n_groups * srows, 128), jnp.int32),
+            jax.ShapeDtypeStruct((S, n_groups * wrows, 128), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(windows, wofff, cpf)
 
-    const_specs = [
-        pl.BlockSpec(mats["dr"].shape, lambda s, g: (0, 0)),
-        pl.BlockSpec(mats["dc"].shape, lambda s, g: (0, 0)),
-        pl.BlockSpec(mats["u2"].shape, lambda s, g: (0, 0)),
-        pl.BlockSpec(mats["v2"].shape, lambda s, g: (0, 0)),
-    ]
-    const_vals = [jnp.asarray(mats["dr"]), jnp.asarray(mats["dc"]),
-                  jnp.asarray(mats["u2"]), jnp.asarray(mats["v2"])]
-    if flag_bits == 3:
-        const_specs.append(
-            pl.BlockSpec(mats["v2b"].shape, lambda s, g: (0, 0)))
-        const_vals.append(jnp.asarray(mats["v2b"]))
+    # ---- XLA middle stage: flags + token positions -----------------
+    sig3 = (sig_lat.reshape(S, n_groups, srows * 128)
+            [:, :, :nbg * sig_words]
+            .reshape(S, NB, sig_words))
+    flags = flags_from_sig(sig3, q, sig_words, flag_bits)
+    cp_q = jnp.repeat(is_copy, q, axis=1)
+    dead_q = jnp.repeat(woff < 0, q, axis=1)
+    flags = jnp.where(cp_q | dead_q, 0, flags)
+    pw = jnp.where(dead_q, 0,
+                   jnp.where(cp_q, 2, flag_payload_words(flags,
+                                                         flag_bits)))
+    pw3 = pw.reshape(S, n_groups, GQ)
+    c3 = jnp.cumsum(pw3, axis=2) - pw3          # group-local excl
+    c_in = jnp.where(pw3 >= 1, c3, -1).reshape(
+        S, n_groups * QROWS, 128)
 
-    out = pl.pallas_call(
-        kernel,
+    w0, w1 = pl.pallas_call(
+        _make_kernel2(q, sig_words),
         grid=(S, n_groups),
         in_specs=[
             pl.BlockSpec((1, wrows, 128), lambda s, g: (s, g, 0)),
             pl.BlockSpec((1, QROWS, 128), lambda s, g: (s, g, 0)),
-            pl.BlockSpec((1, srows_g, 128), lambda s, g: (s, g, 0)),
-        ] + const_specs,
+        ],
         out_specs=[pl.BlockSpec((1, QROWS, 128), lambda s, g: (s, g, 0))
-                   ] * 3,
+                   ] * 2,
         out_shape=[jax.ShapeDtypeStruct((S, N // 128, 128), jnp.int32)
-                   ] * 3,
+                   ] * 2,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(windows, boffq, sigpos, *const_vals)
-    flags, w0, w1 = (o.reshape(S, N) for o in out)
-    return flags, w0, w1
+    )(comp, c_in)
+    return flags, w0.reshape(S, N), w1.reshape(S, N)

@@ -126,3 +126,36 @@ def test_resolution_matches_oracle_on_two_streams():
         if ragged and not ic[-1]:
             got[-ragged:] = e[-ragged:]
         assert bytes(got) == d, f"stream {s}"
+
+
+def test_chunked_fill_max_brute_force():
+    """Cross-chunk carry semantics: a chunk's own fill beats the carry
+    (packed positions are chunk-local and must never meet in a max)."""
+    from density_tpu.engine.unlayout import _chunked_fill_max
+    rng = np.random.default_rng(0)
+    for trial in range(10):
+        S, N, chunk = 2, 2048, 256
+        grp = np.sort(rng.integers(0, 30, (S, N)), axis=1)
+        isp = rng.random((S, N)) < rng.uniform(0.005, 0.9)
+        c16 = rng.integers(0, 65536, (S, N))
+        pos = np.arange(N) % chunk
+        x = np.where(isp, ((pos + 1).astype(np.uint32) << 16) | c16,
+                     0).astype(np.uint32)
+        first = np.zeros((S, N), bool)
+        first[:, 0] = True
+        first[:, 1:] |= grp[:, 1:] != grp[:, :-1]
+        got = np.asarray(_chunked_fill_max(jnp.asarray(x),
+                                           jnp.asarray(first), chunk))
+        refv = np.zeros((S, N), np.uint32)
+        refh = np.zeros((S, N), bool)
+        for s in range(S):
+            lastv, has = 0, False
+            for i in range(N):
+                if first[s, i]:
+                    lastv, has = 0, False
+                if isp[s, i]:
+                    lastv, has = c16[s, i], True
+                refv[s, i] = lastv
+                refh[s, i] = has
+        assert ((got != 0) == refh).all()
+        assert ((got & 0xFFFF)[refh] == refv[refh]).all()
