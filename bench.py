@@ -173,6 +173,27 @@ def _device_decode_time(blob, repeats=3, chain=8):
     return best / chain
 
 
+def _pool_decode_time(codec, blob, repeats=3):
+    """Host thread-pool decode throughput (cheetah/lion production
+    decode path -- per-stream serial chains, stream-parallel)."""
+    from density_tpu import container, native
+    codec_h, original_len, stream_size, lengths, off = \
+        container.parse_header(blob)
+    offsets = off + np.concatenate([[0], np.cumsum(lengths)])
+    streams = [blob[offsets[s]:offsets[s + 1]]
+               for s in range(len(lengths))]
+    out_lens = np.clip(
+        original_len - np.arange(len(lengths), dtype=np.int64)
+        * stream_size, 0, stream_size)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        native.decode_many(codec, streams,
+                           [int(x) for x in out_lens])
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def _profile(codec, data, stream_size, blob):
     """Capture one jax.profiler trace of a device encode + decode."""
     import jax
@@ -230,64 +251,110 @@ def main():
         "BENCH_E2E_STREAM_SIZE", str(container.DEFAULT_STREAM_SIZE)))
     profile = "--profile" in sys.argv
     first_blob = None
+    blobs = {}
+    codecs = ["chameleon", "cheetah", "lion"]
 
-    for codec in ["chameleon", "cheetah", "lion"]:
-        # Reserve time: the later codecs are optional, the JSON line is
-        # not. Chameleon gets the whole budget; the others only start
-        # with >=180s left.
-        if codec != "chameleon" and _left() < 180:
-            print(f"[bench] skipping {codec}: {_left():.0f}s left",
-                  file=sys.stderr)
-            continue
+    # Phase A (every codec gets a floor before any decode timing runs):
+    # ratio + e2e round-trip + device encode. Phase B: device decode.
+    # Per-codec soft slices stop one slow cold compile from starving
+    # the later codecs (round-2 postmortem: lion never got a number).
+    for i, codec in enumerate(codecs):
+        slice_end = time.perf_counter() + max(
+            60.0, _left() * 0.55 / (len(codecs) - i))
         try:
             ref_ratio = n / len(native.encode(codec, data))
-
             blob = container.compress(data, codec, stream_size=e2e_stream)
             dec = container.decompress(blob)
             assert dec == data, f"{codec} round-trip failed"
             ratio = n / len(blob)
-            if codec == "chameleon":
+            blobs[codec] = blob
+            if first_blob is None:
                 first_blob = blob
-
-            t_enc, blob = _time_best(lambda: container.compress(
-                data, codec, stream_size=e2e_stream))
-            t_dec, dec = _time_best(lambda: container.decompress(blob))
-            assert dec == data
-            t_dev = _device_encode_time(codec, data, stream_size)
             enc_ref, dec_ref = ref_tp[codec]
             results[codec] = {
-                "encode_gbps": gb / t_enc,
-                "decode_gbps": gb / t_dec,
-                "device_encode_gbps": gb / t_dev,
                 "ratio": ratio,
                 "ref_ratio_same_corpus": ref_ratio,
-                "enc_vs_ref": (gb / t_enc) / enc_ref,
-                "dev_enc_vs_ref": (gb / t_dev) / enc_ref,
-                "dec_vs_ref": (gb / t_dec) / dec_ref,
                 "ratio_vs_ref": ratio / ref_ratio,
             }
-            _emit(results, n)  # encode numbers land even if decode stalls
-            t_ddec = _device_decode_time(blob)
-            results[codec]["device_decode_gbps"] = gb / t_ddec
-            results[codec]["dev_dec_vs_ref"] = (gb / t_ddec) / dec_ref
+            t_enc, blob = _time_best(lambda: container.compress(
+                data, codec, stream_size=e2e_stream), repeats=1)
+            t_dec, dec = _time_best(
+                lambda: container.decompress(blob), repeats=1)
+            assert dec == data
+            results[codec]["encode_gbps"] = gb / t_enc
+            results[codec]["decode_gbps"] = gb / t_dec
+            results[codec]["enc_vs_ref"] = (gb / t_enc) / enc_ref
+            results[codec]["dec_vs_ref"] = (gb / t_dec) / dec_ref
+            _emit(results, n)
+            if time.perf_counter() > slice_end and i + 1 < len(codecs):
+                print(f"[bench] {codec}: deferring device encode "
+                      f"(slice used)", file=sys.stderr)
+                continue
+            t_dev = _device_encode_time(codec, data, stream_size)
+            results[codec]["device_encode_gbps"] = gb / t_dev
+            results[codec]["dev_enc_vs_ref"] = (gb / t_dev) / enc_ref
+            _emit(results, n)
         except Exception as e:  # noqa: BLE001 -- keep the headline alive
-            if codec == "chameleon" and "device_encode_gbps" not in \
-                    results.get("chameleon", {}):
+            if codec == "chameleon" and not results.get("chameleon"):
                 raise
-            print(f"[bench] {codec} failed: {e!r}", file=sys.stderr)
+            print(f"[bench] {codec} phase A failed: {e!r}",
+                  file=sys.stderr)
             continue
 
-        r = results[codec]
-        print(f"[bench] {codec}: encode {r['encode_gbps']:.3f} GB/s e2e / "
-              f"{r['device_encode_gbps']:.3f} GB/s device "
-              f"({r['dev_enc_vs_ref']:.2f}x ref), "
-              f"decode {r['decode_gbps']:.3f} GB/s e2e / "
+    # Phase A': any deferred device-encode numbers
+    for codec in codecs:
+        if codec in results and "device_encode_gbps" not in results[codec] \
+                and _left() > 120:
+            try:
+                t_dev = _device_encode_time(codec, data, stream_size)
+                results[codec]["device_encode_gbps"] = gb / t_dev
+                results[codec]["dev_enc_vs_ref"] = (
+                    gb / t_dev) / ref_tp[codec][0]
+                _emit(results, n)
+            except Exception as e:  # noqa: BLE001
+                print(f"[bench] {codec} device encode failed: {e!r}",
+                      file=sys.stderr)
+
+    # Phase B: device decode. Chameleon: the Pallas unpack + sorter
+    # path. Cheetah/lion: the device fixpoint only converges on
+    # low-prediction data (the per-quad context chain is serial by
+    # format design), so on compressible corpora their production
+    # decode is the stream-parallel host pool -- measured here as
+    # decode_pool_gbps (compressed bytes already host-resident).
+    for codec in codecs:
+        if codec not in results or codec not in blobs or _left() < 90:
+            continue
+        try:
+            if codec == "chameleon":
+                t_ddec = _device_decode_time(blobs[codec])
+                results[codec]["device_decode_gbps"] = gb / t_ddec
+                results[codec]["dev_dec_vs_ref"] = (
+                    gb / t_ddec) / ref_tp[codec][1]
+            else:
+                t_pool = _pool_decode_time(codec, blobs[codec])
+                results[codec]["decode_pool_gbps"] = gb / t_pool
+                results[codec]["pool_dec_vs_ref"] = (
+                    gb / t_pool) / ref_tp[codec][1]
+            _emit(results, n)
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench] {codec} decode timing failed: {e!r}",
+                  file=sys.stderr)
+
+    for codec in codecs:
+        r = results.get(codec)
+        if not r:
+            continue
+        print(f"[bench] {codec}: encode "
+              f"{r.get('encode_gbps', 0):.3f} GB/s e2e / "
+              f"{r.get('device_encode_gbps', 0):.3f} GB/s device "
+              f"({r.get('dev_enc_vs_ref', 0):.2f}x ref), "
+              f"decode {r.get('decode_gbps', 0):.3f} GB/s e2e / "
               f"{r.get('device_decode_gbps', 0):.3f} GB/s device "
               f"({r.get('dev_dec_vs_ref', 0):.2f}x ref), "
-              f"ratio {r['ratio']:.3f} "
-              f"({r['ratio_vs_ref']:.3f}x ref same-corpus)",
+              f"ratio {r.get('ratio', 0):.3f} "
+              f"({r.get('ratio_vs_ref', 0):.3f}x ref same-corpus)",
               file=sys.stderr)
-        _emit(results, n)
+    _emit(results, n)
 
     if _left() > 30:
         t0 = time.perf_counter()

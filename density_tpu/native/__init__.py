@@ -54,6 +54,18 @@ def _load():
                            ctypes.c_size_t, ctypes.c_int]
         lib.dtpu_stream_held.restype = ctypes.c_size_t
         lib.dtpu_stream_held.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        i64p = ctypes.c_void_p
+        for op in ("decode_many", "encode_many"):
+            fn = getattr(lib, f"dtpu_{op}")
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [ctypes.c_int, ctypes.c_char_p, i64p, i64p,
+                           ctypes.c_void_p, i64p, i64p, i64p,
+                           ctypes.c_int64, ctypes.c_int]
+        lib.dtpu_scan_many.restype = ctypes.c_int64
+        lib.dtpu_scan_many.argtypes = [
+            ctypes.c_int, ctypes.c_char_p, i64p, i64p, i64p, i64p,
+            ctypes.c_void_p, i64p, i64p, i64p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int]
         _lib = lib
     except Exception as e:  # pragma: no cover - toolchain missing
         _load_error = e
@@ -91,6 +103,97 @@ def decode(codec: str, data: bytes, decoded_size_hint: int | None = None) -> byt
     out = ctypes.create_string_buffer(cap + 16)
     n = getattr(lib, f"{codec}_decode")(data, len(data), out, cap)
     return out.raw[:n]
+
+
+_CODEC_IDS = {"chameleon": 0, "cheetah": 1, "lion": 2}
+N_THREADS = os.cpu_count() or 1
+
+
+def _i64(a):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def decode_many(codec: str, streams, out_caps) -> list:
+    """Decode independent streams in parallel worker threads (the
+    host-side mirror of the device's streams-axis sharding).  Returns
+    the list of decoded bytes; raises on any malformed stream."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_load_error}")
+    n = len(streams)
+    if n == 0:
+        return []
+    in_len = np.array([len(s) for s in streams], np.int64)
+    in_off = np.concatenate([[0], np.cumsum(in_len)[:-1]])
+    blob = b"".join(streams)
+    out_cap = np.asarray(out_caps, np.int64)
+    out_off = np.concatenate([[0], np.cumsum(out_cap)[:-1]])
+    out = np.empty(int(out_cap.sum()) + 16, np.uint8)
+    out_len = np.zeros(n, np.int64)
+    fails = lib.dtpu_decode_many(
+        _CODEC_IDS[codec], blob, _i64(in_off), _i64(in_len),
+        out.ctypes.data_as(ctypes.c_void_p), _i64(out_off),
+        _i64(out_cap), _i64(out_len), n, N_THREADS)
+    if fails:
+        from density_tpu.errors import DecodeError
+        raise DecodeError(f"{fails} stream(s) failed to decode")
+    return [out[out_off[i]:out_off[i] + out_len[i]].tobytes()
+            for i in range(n)]
+
+
+def encode_many(codec: str, chunks) -> list:
+    """Encode independent chunks in parallel worker threads."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_load_error}")
+    n = len(chunks)
+    if n == 0:
+        return []
+    in_len = np.array([len(s) for s in chunks], np.int64)
+    in_off = np.concatenate([[0], np.cumsum(in_len)[:-1]])
+    blob = b"".join(chunks)
+    out_cap = np.array([safe_encode_buffer_size(codec, len(s)) + 16
+                        for s in chunks], np.int64)
+    out_off = np.concatenate([[0], np.cumsum(out_cap)[:-1]])
+    out = np.empty(int(out_cap.sum()) + 16, np.uint8)
+    out_len = np.zeros(n, np.int64)
+    fails = lib.dtpu_encode_many(
+        _CODEC_IDS[codec], blob, _i64(in_off), _i64(in_len),
+        out.ctypes.data_as(ctypes.c_void_p), _i64(out_off),
+        _i64(out_cap), _i64(out_len), n, N_THREADS)
+    if fails:
+        from density_tpu.errors import EncodeError
+        raise EncodeError(f"{fails} chunk(s) failed to encode")
+    return [out[out_off[i]:out_off[i] + out_len[i]].tobytes()
+            for i in range(n)]
+
+
+def scan_many(codec: str, streams, max_blocks: int):
+    """Scan independent streams in parallel.  Returns (blk_in_off,
+    blk_out_off, blk_copy, n_blocks, pred_tokens, total_tokens) with
+    per-block rows flattened at stride max_blocks."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_load_error}")
+    n = len(streams)
+    in_len = np.array([len(s) for s in streams], np.int64)
+    in_off = np.concatenate([[0], np.cumsum(in_len)[:-1]]) if n else \
+        np.zeros(0, np.int64)
+    blob = b"".join(streams)
+    bio = np.zeros((n, max_blocks), np.int64)
+    boo = np.zeros((n, max_blocks), np.int64)
+    bcp = np.zeros((n, max_blocks), np.uint8)
+    nb = np.zeros(n, np.int64)
+    pred = np.zeros(n, np.int64)
+    tot = np.zeros(n, np.int64)
+    fails = lib.dtpu_scan_many(
+        _CODEC_IDS[codec], blob, _i64(in_off), _i64(in_len),
+        _i64(bio), _i64(boo), bcp.ctypes.data_as(ctypes.c_void_p),
+        _i64(nb), _i64(pred), _i64(tot), n, max_blocks, N_THREADS)
+    if fails:
+        from density_tpu.errors import DecodeError
+        raise DecodeError(f"{fails} malformed stream(s)")
+    return bio, boo, bcp, nb, pred, tot
 
 
 def scan(codec: str, data: bytes):

@@ -22,7 +22,7 @@ def build(force: bool = False) -> str:
         return SO
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        "-fno-exceptions", "-o", SO, SRC,
+        "-fno-exceptions", "-pthread", "-o", SO, SRC,
     ]
     subprocess.run(cmd, check=True, capture_output=True, text=True)
     return SO

@@ -23,6 +23,8 @@
 #include <cstdint>
 #include <cstring>
 #include <cstddef>
+#include <atomic>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -777,11 +779,14 @@ size_t Lion::decode_p(const uint8_t* in, size_t in_size, uint8_t* out,
 template <typename CodecTraits>
 static size_t scan_stream(const uint8_t* in, size_t in_size,
                           int64_t* in_offsets, int64_t* out_offsets,
-                          uint8_t* is_copy, size_t max_blocks) {
+                          uint8_t* is_copy, size_t max_blocks,
+                          int64_t* pred_tokens = nullptr,
+                          int64_t* total_tokens = nullptr) {
   constexpr size_t kBlock = CodecTraits::kBlock;
   constexpr size_t kSigBytes = CodecTraits::kSigBytes;
   constexpr int kFlagBits = CodecTraits::kFlagBits;
   constexpr int kQuads = kBlock / 4;
+  int64_t n_pred = 0, n_tok = 0;
   Protection prot;
   size_t ip = 0, op = 0, nb = 0;
   while (in_size - ip > 0) {
@@ -824,6 +829,8 @@ static size_t scan_stream(const uint8_t* in, size_t in_size,
       uint64_t flag = sig & ((1u << kFlagBits) - 1);
       sig >>= kFlagBits;
       size_t tok = CodecTraits::payload_bytes(flag);
+      n_tok++;
+      if (tok == 0) n_pred++;
       if (tok == 4) {  // plain: check ragged tail semantics
         size_t rem = in_size - ip;
         if (rem == 0) {
@@ -846,6 +853,8 @@ static size_t scan_stream(const uint8_t* in, size_t in_size,
     if (ended) break;
     prot.update(ip - mark >= kBlock);
   }
+  if (pred_tokens) *pred_tokens = n_pred;
+  if (total_tokens) *total_tokens = n_tok;
   return nb;
 }
 
@@ -1087,6 +1096,164 @@ size_t dtpu_stream_decode(void* sp, const uint8_t* in, size_t n,
 size_t dtpu_stream_held(void* sp, int which) {
   auto* s = static_cast<DtpuStream*>(sp);
   return which == 0 ? s->ehold.size() : s->dhold.size();
+}
+
+// --- batched one-shot ops over independent streams (host runtime) ----------
+// Streams are independent compression units (fresh state per stream,
+// reference chameleon.rs:45-53), so batches parallelize across worker
+// threads with no synchronization beyond a shared work counter.  This
+// is the framework's host-side data-parallel executor -- the CPU
+// mirror of the device's streams-axis sharding (SURVEY.md section 2b).
+
+static void run_parallel(int64_t n, int n_threads,
+                         void (*fn)(int64_t, void*), void* ctx) {
+  if (n_threads <= 1 || n <= 1) {
+    for (int64_t i = 0; i < n; i++) fn(i, ctx);
+    return;
+  }
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n) return;
+      fn(i, ctx);
+    }
+  };
+  std::vector<std::thread> ts;
+  int nt = n_threads < n ? n_threads : static_cast<int>(n);
+  ts.reserve(nt - 1);
+  for (int t = 1; t < nt; t++) ts.emplace_back(worker);
+  worker();
+  for (auto& t : ts) t.join();
+}
+
+struct ManyCtx {
+  int codec;
+  const uint8_t* blob;
+  const int64_t* in_off;
+  const int64_t* in_len;
+  uint8_t* out;
+  const int64_t* out_off;
+  const int64_t* out_cap;
+  int64_t* out_len;  // written: result sizes (or -1 on failure)
+};
+
+static void decode_one_idx(int64_t i, void* p) {
+  auto* c = static_cast<ManyCtx*>(p);
+  size_t w = 0;
+  const uint8_t* in = c->blob + c->in_off[i];
+  uint8_t* out = c->out + c->out_off[i];
+  size_t cap = static_cast<size_t>(c->out_cap[i]);
+  size_t n = static_cast<size_t>(c->in_len[i]);
+  switch (c->codec) {
+    case 0: { Chameleon x; w = x.decode(in, n, out, cap); break; }
+    case 1: { Cheetah x; w = x.decode(in, n, out, cap); break; }
+    default: { Lion x; w = x.decode(in, n, out, cap); break; }
+  }
+  c->out_len[i] = (w == 0 && n > 0) ? -1 : static_cast<int64_t>(w);
+}
+
+static void encode_one_idx(int64_t i, void* p) {
+  auto* c = static_cast<ManyCtx*>(p);
+  size_t w = 0;
+  const uint8_t* in = c->blob + c->in_off[i];
+  uint8_t* out = c->out + c->out_off[i];
+  size_t cap = static_cast<size_t>(c->out_cap[i]);
+  size_t n = static_cast<size_t>(c->in_len[i]);
+  switch (c->codec) {
+    case 0: { Chameleon x; w = x.encode(in, n, out, cap); break; }
+    case 1: { Cheetah x; w = x.encode(in, n, out, cap); break; }
+    default: { Lion x; w = x.encode(in, n, out, cap); break; }
+  }
+  c->out_len[i] = (w == 0 && n > 0) ? -1 : static_cast<int64_t>(w);
+}
+
+// Decode `n` independent streams in parallel. blob holds the
+// concatenated compressed streams at in_off/in_len; results land at
+// out + out_off[i] (caller-sized via out_cap); out_len[i] receives the
+// decoded size or -1.  Returns the number of failed streams.
+int64_t dtpu_decode_many(int codec, const uint8_t* blob,
+                         const int64_t* in_off, const int64_t* in_len,
+                         uint8_t* out, const int64_t* out_off,
+                         const int64_t* out_cap, int64_t* out_len,
+                         int64_t n, int n_threads) {
+  ManyCtx c{codec, blob, in_off, in_len, out, out_off, out_cap, out_len};
+  run_parallel(n, n_threads, decode_one_idx, &c);
+  int64_t fails = 0;
+  for (int64_t i = 0; i < n; i++) fails += out_len[i] < 0;
+  return fails;
+}
+
+int64_t dtpu_encode_many(int codec, const uint8_t* blob,
+                         const int64_t* in_off, const int64_t* in_len,
+                         uint8_t* out, const int64_t* out_off,
+                         const int64_t* out_cap, int64_t* out_len,
+                         int64_t n, int n_threads) {
+  ManyCtx c{codec, blob, in_off, in_len, out, out_off, out_cap, out_len};
+  run_parallel(n, n_threads, encode_one_idx, &c);
+  int64_t fails = 0;
+  for (int64_t i = 0; i < n; i++) fails += out_len[i] < 0;
+  return fails;
+}
+
+struct ScanManyCtx {
+  int codec;
+  const uint8_t* blob;
+  const int64_t* in_off;
+  const int64_t* in_len;
+  int64_t* blk_in_off;   // (n, max_blocks) flattened
+  int64_t* blk_out_off;
+  uint8_t* blk_copy;
+  int64_t* n_blocks;     // per stream, -1 on malformed
+  int64_t* pred_tokens;  // per stream
+  int64_t* total_tokens;
+  int64_t max_blocks;
+};
+
+static void scan_one_idx(int64_t i, void* p) {
+  auto* c = static_cast<ScanManyCtx*>(p);
+  const uint8_t* in = c->blob + c->in_off[i];
+  size_t n = static_cast<size_t>(c->in_len[i]);
+  int64_t* io = c->blk_in_off + i * c->max_blocks;
+  int64_t* oo = c->blk_out_off + i * c->max_blocks;
+  uint8_t* cp = c->blk_copy + i * c->max_blocks;
+  size_t nb;
+  switch (c->codec) {
+    case 0:
+      nb = scan_stream<ChameleonTraits>(in, n, io, oo, cp, c->max_blocks,
+                                        c->pred_tokens + i,
+                                        c->total_tokens + i);
+      break;
+    case 1:
+      nb = scan_stream<CheetahTraits>(in, n, io, oo, cp, c->max_blocks,
+                                      c->pred_tokens + i,
+                                      c->total_tokens + i);
+      break;
+    default:
+      nb = scan_stream<LionTraits>(in, n, io, oo, cp, c->max_blocks,
+                                   c->pred_tokens + i,
+                                   c->total_tokens + i);
+      break;
+  }
+  c->n_blocks[i] = nb == static_cast<size_t>(-1)
+                       ? -1 : static_cast<int64_t>(nb);
+}
+
+// Scan `n` independent streams in parallel into flattened per-block
+// metadata (row i at [i*max_blocks, ...)).  Returns #malformed.
+int64_t dtpu_scan_many(int codec, const uint8_t* blob,
+                       const int64_t* in_off, const int64_t* in_len,
+                       int64_t* blk_in_off, int64_t* blk_out_off,
+                       uint8_t* blk_copy, int64_t* n_blocks,
+                       int64_t* pred_tokens, int64_t* total_tokens,
+                       int64_t n, int64_t max_blocks, int n_threads) {
+  ScanManyCtx c{codec, blob, in_off, in_len, blk_in_off, blk_out_off,
+                blk_copy, n_blocks, pred_tokens, total_tokens,
+                max_blocks};
+  run_parallel(n, n_threads, scan_one_idx, &c);
+  int64_t fails = 0;
+  for (int64_t i = 0; i < n; i++) fails += n_blocks[i] < 0;
+  return fails;
 }
 
 }  // extern "C"
