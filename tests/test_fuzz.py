@@ -80,6 +80,7 @@ def test_fsm_single_incompressible_never_arms(codec):
     assert not is_copy.any()
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("codec", CODECS)
 def test_fuzz_jax_matches_native(codec):
     """Random (length, content) sweeps: JAX bytes == native bytes and

@@ -105,6 +105,7 @@ def test_seg_selq_before_bruteforce(K):
             q = [q[d]] + q[:d] + q[d + 1:]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("codec", ["cheetah", "lion"])
 def test_parallel_resolve_roundtrip(codec):
     """decode() (parallel resolver) round-trips native streams covering
@@ -126,6 +127,7 @@ def test_parallel_resolve_roundtrip(codec):
         assert mod.decode(enc) == data
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("codec", ["cheetah", "lion"])
 def test_decode_batch_parallel_ok(codec):
     """Container decode is exact whether or not the context fixpoint

@@ -67,7 +67,9 @@ def _corpus(rng, n, mode):
 
 
 @pytest.mark.parametrize("mode,n", [
-    ("text", 98304), ("random", 70000), ("mixed", 98307)])
+    ("text", 98304),
+    pytest.param("random", 70000, marks=pytest.mark.slow),
+    pytest.param("mixed", 98307, marks=pytest.mark.slow)])
 def test_fast_decode_roundtrip(mode, n):
     rng = np.random.default_rng(hash((mode, n)) % (2**32))
     data = _corpus(rng, n, mode)
@@ -92,6 +94,7 @@ def test_unpack_matches_xla_extraction():
                                   np.asarray(w12)[0, :fq][plains])
 
 
+@pytest.mark.slow
 def test_resolution_matches_oracle_on_two_streams():
     """Batched (S=2) fast path, differing copy layouts per stream."""
     rng = np.random.default_rng(11)
