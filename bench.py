@@ -247,8 +247,11 @@ def main():
     # kernels cached); e2e + ratio: the container default (8 MiB,
     # ratio-oriented -- see container.DEFAULT_STREAM_SIZE)
     stream_size = int(os.environ.get("BENCH_STREAM_SIZE", str(1 << 20)))
-    e2e_stream = int(os.environ.get(
-        "BENCH_E2E_STREAM_SIZE", str(container.DEFAULT_STREAM_SIZE)))
+    env_e2e = os.environ.get("BENCH_E2E_STREAM_SIZE")
+
+    def e2e_stream_for(codec):
+        return int(env_e2e) if env_e2e else \
+            container.default_stream_size(codec)
     profile = "--profile" in sys.argv
     first_blob = None
     blobs = {}
@@ -263,7 +266,8 @@ def main():
             60.0, _left() * 0.55 / (len(codecs) - i))
         try:
             ref_ratio = n / len(native.encode(codec, data))
-            blob = container.compress(data, codec, stream_size=e2e_stream)
+            blob = container.compress(data, codec,
+                                      stream_size=e2e_stream_for(codec))
             dec = container.decompress(blob)
             assert dec == data, f"{codec} round-trip failed"
             ratio = n / len(blob)
@@ -277,7 +281,8 @@ def main():
                 "ratio_vs_ref": ratio / ref_ratio,
             }
             t_enc, blob = _time_best(lambda: container.compress(
-                data, codec, stream_size=e2e_stream), repeats=1)
+                data, codec, stream_size=e2e_stream_for(codec)),
+                repeats=1)
             t_dec, dec = _time_best(
                 lambda: container.decompress(blob), repeats=1)
             assert dec == data

@@ -42,7 +42,21 @@ CODEC_NAMES = {v: k for k, v in CODEC_IDS.items()}
 # single-stream ratio on the bench corpus, while 1 MiB costs 4-11%.
 # Throughput-oriented deployments on pods should pass
 # stream_size ~= total_bytes / (4 * n_devices) instead.
-DEFAULT_STREAM_SIZE = 8 << 20  # 8 MiB
+#
+# The prediction codecs thread context through every quad
+# (cheetah.rs:148, lion.rs:269), so their ratio is more sensitive to
+# dictionary resets at stream boundaries: they default to coarser
+# streams (>= 0.99x reference ratio at defaults on the bench corpus).
+DEFAULT_STREAM_SIZE = 8 << 20  # 8 MiB (chameleon)
+DEFAULT_STREAM_SIZES = {
+    "chameleon": 8 << 20,
+    "cheetah": 32 << 20,
+    "lion": 32 << 20,
+}
+
+
+def default_stream_size(codec: str) -> int:
+    return DEFAULT_STREAM_SIZES.get(codec, DEFAULT_STREAM_SIZE)
 
 _HDR = struct.Struct("<4sBBHQII")
 
@@ -81,11 +95,13 @@ def split_streams(n: int, stream_size: int) -> int:
 
 
 def compress(data: bytes, codec: str = "chameleon",
-             stream_size: int = DEFAULT_STREAM_SIZE, mesh=None) -> bytes:
+             stream_size: int | None = None, mesh=None) -> bytes:
     """Compress into a framed container, sharding streams over the
     current device set (or an explicit jax Mesh)."""
     if codec not in SPECS:
         raise EncodeError(f"unknown codec {codec!r}")
+    if stream_size is None:
+        stream_size = default_stream_size(codec)
     from density_tpu.parallel import sharding
     return sharding.compress(data, codec, stream_size, mesh)
 
