@@ -43,15 +43,18 @@ CODEC_NAMES = {v: k for k, v in CODEC_IDS.items()}
 # Throughput-oriented deployments on pods should pass
 # stream_size ~= total_bytes / (4 * n_devices) instead.
 #
-# The prediction codecs thread context through every quad
-# (cheetah.rs:148, lion.rs:269), so their ratio is more sensitive to
-# dictionary resets at stream boundaries: they default to coarser
-# streams (>= 0.99x reference ratio at defaults on the bench corpus).
-DEFAULT_STREAM_SIZE = 8 << 20  # 8 MiB (chameleon)
+# Ratio-vs-grain on the bench corpus (10 MB): chameleon 0.994x the
+# reference single-stream ratio at 8 MiB streams; cheetah 0.987x at
+# 8 MiB and >= 0.99x from ~32 MiB up (the prediction codecs thread
+# context through every quad -- cheetah.rs:148, lion.rs:269 -- so
+# dictionary resets at stream boundaries cost them more).  8 MiB is
+# the knee for this corpus size; ratio-critical callers with large
+# inputs should pass stream_size=32<<20 or more.
+DEFAULT_STREAM_SIZE = 8 << 20  # 8 MiB
 DEFAULT_STREAM_SIZES = {
     "chameleon": 8 << 20,
-    "cheetah": 32 << 20,
-    "lion": 32 << 20,
+    "cheetah": 8 << 20,
+    "lion": 8 << 20,
 }
 
 
