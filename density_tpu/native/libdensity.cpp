@@ -1056,6 +1056,12 @@ size_t dtpu_stream_encode(void* sp, const uint8_t* in, size_t n,
 size_t dtpu_stream_decode(void* sp, const uint8_t* in, size_t n,
                           uint8_t* out, size_t out_cap, int final_chunk) {
   auto* s = static_cast<DtpuStream*>(sp);
+  // A poisoned session's dictionary state already advanced past the
+  // failed pass; re-running decode_p over the retained dhold would
+  // resolve map tokens against doubly-applied state and emit silently
+  // corrupt bytes.  Enforce the documented every-later-call-fails
+  // contract (same as dtpu_stream_encode above) until reset().
+  if (s->poisoned) return static_cast<size_t>(-1);
   s->dhold.insert(s->dhold.end(), in, in + n);
   if (s->dhold.empty()) return 0;
   size_t consumed = 0;

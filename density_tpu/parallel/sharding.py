@@ -176,8 +176,10 @@ def pick_decode_fn(codec, device_args, any_copy: bool):
 
     The Pallas fast path needs a single TPU device and a power-of-two
     quad capacity that is a multiple of the unpack group; everything
-    else (CPU meshes, ragged tails, multi-device shards) takes the XLA
-    path. Returns a callable (args...) -> (out_words, ok)."""
+    else (CPU meshes, multi-device shards, other codecs) takes the XLA
+    path. Ragged output tails are not a dispatch criterion: both paths
+    rely on `decompress` stamping the final ragged bytes host-side.
+    Returns a callable (args...) -> (out_words, ok)."""
     wbytes, woff = device_args[0], device_args[1]
     n_q = woff.shape[1] * SPECS[codec].quads_per_block
     pow2 = n_q >= 16384 and (n_q & (n_q - 1)) == 0

@@ -81,11 +81,15 @@ class StreamEncoder(_Session):
                                          out, cap, int(final))
         if w == ctypes.c_size_t(-1).value:
             raise EncodeError("output buffer too small (internal)")
-        block = self.spec.block_size
-        taken = total if final else total // block * block
-        self._held = total - taken
         if final:
+            self._held = 0
             self._finished = True
+        else:
+            # exact retained-byte count from the native session: the
+            # encoder's cap-limited partial-take path may consume fewer
+            # bytes than avail // block * block, so deriving the count
+            # arithmetically can desync from the native hold
+            self._held = int(self._lib.dtpu_stream_held(self._st, 0))
         return out.raw[:w]
 
     def update(self, data: bytes) -> bytes:

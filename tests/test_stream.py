@@ -73,6 +73,34 @@ def test_stream_reset_is_clear_state(codec):
 
 
 @pytest.mark.parametrize("codec", CODECS)
+def test_stream_decode_poisoned_until_reset(codec):
+    """A decode failure that may have advanced dictionary state poisons
+    the session: EVERY later decode call must fail until reset() --
+    a silent retry would resolve map tokens against doubly-applied
+    state and return corrupt bytes (ADVICE r3, libdensity.cpp
+    dtpu_stream_decode)."""
+    import ctypes
+    data = b"poison contract regression " * 200
+    enc = native.encode(codec, data)
+    with StreamDecoder(codec) as dec:
+        lib = dec._lib
+        tiny = ctypes.create_string_buffer(1)
+        # undersized output with final=1: decode_p overflows -> -1
+        w = lib.dtpu_stream_decode(dec._st, enc, len(enc), tiny, 1, 1)
+        assert w == ctypes.c_size_t(-1).value
+        # the retry would "succeed" without the poison check; it must
+        # keep failing even with a generous buffer
+        big = ctypes.create_string_buffer(len(data) + 64)
+        w2 = lib.dtpu_stream_decode(dec._st, enc, len(enc), big,
+                                    len(data) + 64, 1)
+        assert w2 == ctypes.c_size_t(-1).value
+        # reset() lifts the poison and a fresh full decode is exact
+        dec.reset()
+        out = dec.finish(enc)
+        assert out == data
+
+
+@pytest.mark.parametrize("codec", CODECS)
 def test_stream_roundtrip_incompressible(codec):
     """Copy-mode blocks (blowup FSM) must stream through unchanged."""
     rng = random.Random(77)
