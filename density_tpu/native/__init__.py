@@ -3,8 +3,11 @@
 Exposes the density-compatible C ABI (reference: chameleon.rs:70-84,
 cheetah.rs:105-118, lion.rs:193-206) plus the stream scanners used by
 the parallel decode path. Falls back gracefully (is_available() ->
-False) if no C++ toolchain is present; pure-Python/numpy paths then
-take over.
+False) if no C++ toolchain is present: every entry point below then
+routes to the pure-Python twin (native/fallback.py), so decode --
+which needs the block scanner -- works with zero native dependencies,
+matching the reference's pure-library posture.  Set
+DENSITY_TPU_NO_NATIVE=1 to force the fallback (used by tests).
 """
 
 from __future__ import annotations
@@ -22,6 +25,9 @@ def _load():
     global _lib, _load_error
     if _lib is not None or _load_error is not None:
         return _lib
+    if os.environ.get("DENSITY_TPU_NO_NATIVE") == "1":
+        _load_error = RuntimeError("disabled via DENSITY_TPU_NO_NATIVE")
+        return None
     try:
         from density_tpu.native.build import build
         so = build()
@@ -78,6 +84,9 @@ def is_available() -> bool:
 
 def safe_encode_buffer_size(codec: str, size: int) -> int:
     lib = _load()
+    if lib is None:
+        from density_tpu.native import fallback
+        return fallback.safe_encode_buffer_size(codec, size)
     return getattr(lib, f"{codec}_safe_encode_buffer_size")(size)
 
 
@@ -85,7 +94,8 @@ def encode(codec: str, data: bytes) -> bytes:
     """One-shot native encode (fresh state), density-compatible bytes."""
     lib = _load()
     if lib is None:
-        raise RuntimeError(f"native library unavailable: {_load_error}")
+        from density_tpu.native import fallback
+        return fallback.encode(codec, data)
     cap = safe_encode_buffer_size(codec, len(data)) + 16
     out = ctypes.create_string_buffer(cap)
     n = getattr(lib, f"{codec}_encode")(data, len(data), out, cap)
@@ -96,7 +106,8 @@ def decode(codec: str, data: bytes, decoded_size_hint: int | None = None) -> byt
     """One-shot native decode (fresh state)."""
     lib = _load()
     if lib is None:
-        raise RuntimeError(f"native library unavailable: {_load_error}")
+        from density_tpu.native import fallback
+        return fallback.decode(codec, data, decoded_size_hint)
     # Worst case expansion: every token predicted (0 bytes -> 4 bytes out).
     cap = decoded_size_hint if decoded_size_hint is not None else max(
         64, len(data) * 64)
@@ -119,7 +130,8 @@ def decode_many(codec: str, streams, out_caps) -> list:
     the list of decoded bytes; raises on any malformed stream."""
     lib = _load()
     if lib is None:
-        raise RuntimeError(f"native library unavailable: {_load_error}")
+        from density_tpu.native import fallback
+        return fallback.decode_many(codec, streams, out_caps)
     n = len(streams)
     if n == 0:
         return []
@@ -145,7 +157,8 @@ def encode_many(codec: str, chunks) -> list:
     """Encode independent chunks in parallel worker threads."""
     lib = _load()
     if lib is None:
-        raise RuntimeError(f"native library unavailable: {_load_error}")
+        from density_tpu.native import fallback
+        return fallback.encode_many(codec, chunks)
     n = len(chunks)
     if n == 0:
         return []
@@ -174,7 +187,8 @@ def scan_many(codec: str, streams, max_blocks: int):
     per-block rows flattened at stride max_blocks."""
     lib = _load()
     if lib is None:
-        raise RuntimeError(f"native library unavailable: {_load_error}")
+        from density_tpu.native import fallback
+        return fallback.scan_many(codec, streams, max_blocks)
     n = len(streams)
     in_len = np.array([len(s) for s in streams], np.int64)
     in_off = np.concatenate([[0], np.cumsum(in_len)[:-1]]) if n else \
@@ -204,7 +218,8 @@ def scan(codec: str, data: bytes):
     """
     lib = _load()
     if lib is None:
-        raise RuntimeError(f"native library unavailable: {_load_error}")
+        from density_tpu.native import fallback
+        return fallback.scan(codec, data)
     block = {"chameleon": 256, "cheetah": 128, "lion": 64}[codec]
     # Upper bound on block count: every block consumes >= sig bytes...
     # a predicted-only cheetah/lion block consumes just the signature

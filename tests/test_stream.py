@@ -15,6 +15,12 @@ from density_tpu.stream import StreamEncoder, StreamDecoder
 
 CODECS = ["chameleon", "cheetah", "lion"]
 
+# Streaming sessions hold dictionary state inside the native runtime;
+# without a C++ toolchain the capability is unavailable (one-shot
+# encode/decode still work via the pure-Python fallback).
+pytestmark = pytest.mark.skipif(
+    not native.is_available(), reason="native toolchain unavailable")
+
 
 def _chunks(data, sizes):
     out, p = [], 0
