@@ -1,9 +1,13 @@
 """Competitor baselines on the same corpus.
 
 The reference benches lz4 and snappy for pareto context (reference:
-benches/lz4.rs, benches/snappy.rs). Neither library is available in
-this image, so the stdlib codecs (zlib at low level, lzma, bz2) stand
-in as the speed/ratio context points. Run:
+benches/lz4.rs:37-41, benches/snappy.rs).  lz4 runs via the vendored
+clean-room LZ4-block codec in the native runtime (libdensity.cpp --
+greedy matcher, same block format as lz4_flex), so the actual
+speed/ratio point appears beside the three codecs; the stdlib codecs
+(zlib at low level, lzma, bz2) fill out the pareto context.  snappy
+has no library in this image and no vendored stand-in (its format is
+close enough to lz4 that the lz4 point anchors the same region).  Run:
 
     python -m benches.competitors
 """
@@ -35,6 +39,11 @@ def bench_one(name, comp, decomp, data):
 
 def run(data: bytes):
     results = []
+    from density_tpu import native
+    if native.is_available():
+        results.append(bench_one(
+            "lz4-block", native.lz4_compress,
+            lambda b: native.lz4_decompress(b, len(data)), data))
     results.append(bench_one(
         "zlib-1", lambda d: zlib.compress(d, 1), zlib.decompress, data))
     results.append(bench_one(

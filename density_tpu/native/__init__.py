@@ -72,6 +72,11 @@ def _load():
             ctypes.c_int, ctypes.c_char_p, i64p, i64p, i64p, i64p,
             ctypes.c_void_p, i64p, i64p, i64p, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int]
+        for op in ("compress", "decompress"):
+            fn = getattr(lib, f"dtpu_lz4_{op}")
+            fn.restype = ctypes.c_size_t
+            fn.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                           ctypes.c_void_p, ctypes.c_size_t]
         _lib = lib
     except Exception as e:  # pragma: no cover - toolchain missing
         _load_error = e
@@ -239,3 +244,28 @@ def scan(codec: str, data: bytes):
         from density_tpu.errors import DecodeError
         raise DecodeError(f"malformed {codec} stream")
     return in_off[:n], out_off[:n], is_copy[:n]
+
+
+def lz4_compress(data: bytes) -> bytes:
+    """Vendored LZ4-block compress (bench pareto point only -- not part
+    of the density format surface). Raises if native is unavailable."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_load_error}")
+    cap = len(data) + len(data) // 128 + 64
+    out = ctypes.create_string_buffer(cap)
+    n = lib.dtpu_lz4_compress(data, len(data), out, cap)
+    if n == 0 and len(data):
+        raise RuntimeError("lz4 compress overflow")
+    return out.raw[:n]
+
+
+def lz4_decompress(data: bytes, decoded_size: int) -> bytes:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_load_error}")
+    out = ctypes.create_string_buffer(decoded_size + 16)
+    n = lib.dtpu_lz4_decompress(data, len(data), out, decoded_size + 16)
+    if n == ctypes.c_size_t(-1).value:
+        raise RuntimeError("malformed lz4 block")
+    return out.raw[:n]

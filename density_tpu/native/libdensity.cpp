@@ -1262,4 +1262,164 @@ int64_t dtpu_scan_many(int codec, const uint8_t* blob,
   return fails;
 }
 
+// --- vendored LZ4 block codec (bench pareto point) --------------------------
+// Clean-room implementation of the public LZ4 block format
+// (https://github.com/lz4/lz4/blob/dev/doc/lz4_Block_format.md):
+// sequences of [token | literal-length ext | literals | 2-byte LE
+// offset | match-length ext], greedy matcher over a 2^16-entry
+// position hash.  Exists so benches/competitors.py can print a real
+// lz4 speed/ratio point next to the codecs (the reference benches
+// lz4_flex, benches/lz4.rs:37-41); this is NOT part of the density
+// format surface.
+
+static inline uint32_t lz4_hash(uint32_t v) {
+  return (v * 2654435761u) >> 16;  // Knuth multiplicative, 16-bit bucket
+}
+
+size_t dtpu_lz4_compress(const uint8_t* in, size_t n, uint8_t* out,
+                         size_t cap) {
+  if (n == 0 || cap < 16) return 0;
+  std::vector<int64_t> htab(1u << 16, -1);
+  size_t ip = 0, op = 0, anchor = 0;
+  // matches must end >= 5 bytes before the end; stop searching there
+  size_t mlimit = n > 12 ? n - 12 : 0;
+  size_t searches = 0;  // skip-strength acceleration: after many
+  //                       consecutive misses, step faster through
+  //                       incompressible regions (standard LZ4 trick)
+  while (ip < mlimit) {
+    uint32_t v;
+    std::memcpy(&v, in + ip, 4);
+    uint32_t h = lz4_hash(v);
+    int64_t cand = htab[h];
+    htab[h] = static_cast<int64_t>(ip);
+    uint32_t cv;
+    if (cand < 0 || ip - static_cast<size_t>(cand) > 65535 ||
+        (std::memcpy(&cv, in + cand, 4), cv != v)) {
+      ip += 1 + (searches++ >> 6);
+      continue;
+    }
+    searches = 0;
+    // extend the match (bounded so the last 5 bytes stay literals)
+    size_t m = ip + 4, c = static_cast<size_t>(cand) + 4;
+    size_t mend = n - 5;
+    while (m < mend && in[m] == in[c]) { m++; c++; }
+    size_t lit = ip - anchor, mlen = m - ip;
+    // emit token + literal run + offset + match-length extension
+    size_t need = 1 + lit / 255 + 1 + lit + 2 + (mlen - 4) / 255 + 1;
+    if (op + need + 16 > cap) return 0;
+    size_t tok_pos = op++;
+    size_t l = lit;
+    uint8_t tok_l;
+    if (l >= 15) {
+      tok_l = 15;
+      l -= 15;
+      while (l >= 255) { out[op++] = 255; l -= 255; }
+      out[op++] = static_cast<uint8_t>(l);
+    } else {
+      tok_l = static_cast<uint8_t>(l);
+    }
+    std::memcpy(out + op, in + anchor, lit);
+    op += lit;
+    uint16_t off = static_cast<uint16_t>(ip - static_cast<size_t>(cand));
+    out[op++] = static_cast<uint8_t>(off & 0xFF);
+    out[op++] = static_cast<uint8_t>(off >> 8);
+    size_t ml = mlen - 4;
+    uint8_t tok_m;
+    if (ml >= 15) {
+      tok_m = 15;
+      ml -= 15;
+      while (ml >= 255) { out[op++] = 255; ml -= 255; }
+      out[op++] = static_cast<uint8_t>(ml);
+    } else {
+      tok_m = static_cast<uint8_t>(ml);
+    }
+    out[tok_pos] = static_cast<uint8_t>((tok_l << 4) | tok_m);
+    // index interior positions sparsely to keep the matcher fast
+    if (ip + 2 < mlimit) {
+      uint32_t v2;
+      std::memcpy(&v2, in + ip + 2, 4);
+      htab[lz4_hash(v2)] = static_cast<int64_t>(ip + 2);
+    }
+    ip = m;
+    anchor = m;
+  }
+  // final literal-only sequence
+  size_t lit = n - anchor;
+  size_t need = 1 + lit / 255 + 1 + lit;
+  if (op + need > cap) return 0;
+  size_t tok_pos = op++;
+  size_t l = lit;
+  if (l >= 15) {
+    out[tok_pos] = 15u << 4;
+    l -= 15;
+    while (l >= 255) { out[op++] = 255; l -= 255; }
+    out[op++] = static_cast<uint8_t>(l);
+  } else {
+    out[tok_pos] = static_cast<uint8_t>(l << 4);
+  }
+  std::memcpy(out + op, in + anchor, lit);
+  op += lit;
+  return op;
+}
+
+size_t dtpu_lz4_decompress(const uint8_t* in, size_t n, uint8_t* out,
+                           size_t cap) {
+  size_t ip = 0, op = 0;
+  while (ip < n) {
+    uint8_t tok = in[ip++];
+    size_t lit = tok >> 4;
+    if (lit == 15) {
+      uint8_t b;
+      do {
+        if (ip >= n) return static_cast<size_t>(-1);
+        b = in[ip++];
+        lit += b;
+      } while (b == 255);
+    }
+    if (ip + lit > n || op + lit > cap) return static_cast<size_t>(-1);
+    if (ip + lit + 16 <= n && op + lit + 16 <= cap) {
+      // wild copy: unconditional 16-byte chunks with slop margin
+      for (size_t i = 0; i < lit; i += 16)
+        std::memcpy(out + op + i, in + ip + i, 16);
+    } else {
+      std::memcpy(out + op, in + ip, lit);
+    }
+    ip += lit;
+    op += lit;
+    if (ip >= n) break;  // stream ends with a literal-only sequence
+    if (ip + 2 > n) return static_cast<size_t>(-1);
+    size_t off = in[ip] | (static_cast<size_t>(in[ip + 1]) << 8);
+    ip += 2;
+    if (off == 0 || off > op) return static_cast<size_t>(-1);
+    size_t mlen = (tok & 0xF) + 4;
+    if ((tok & 0xF) == 15) {
+      uint8_t b;
+      do {
+        if (ip >= n) return static_cast<size_t>(-1);
+        b = in[ip++];
+        mlen += b;
+      } while (b == 255);
+    }
+    if (op + mlen > cap) return static_cast<size_t>(-1);
+    const uint8_t* src = out + op - off;
+    uint8_t* dst = out + op;
+    if (off >= 16 && op + mlen + 16 <= cap) {
+      for (size_t i = 0; i < mlen; i += 16)
+        std::memcpy(dst + i, src + i, 16);
+    } else if (off >= mlen) {
+      std::memcpy(dst, src, mlen);
+    } else if (off >= 8 && op + mlen + 8 <= cap) {
+      // overlapping but chunk-safe: each 8-byte block reads bytes
+      // already written at least 8 positions back (may slop up to 7
+      // bytes past mlen, bounds-checked against cap above)
+      for (size_t i = 0; i < mlen; i += 8) std::memcpy(dst + i, src + i, 8);
+    } else {
+      // short-period replication (off < 8): byte-wise
+      for (size_t i = 0; i < mlen; i++) dst[i] = src[i];
+    }
+    op += mlen;
+  }
+  return op;
+}
+
 }  // extern "C"

@@ -98,3 +98,19 @@ def test_scanner(name):
     for b in copy_idx:
         if b + 1 < len(in_off):
             assert in_off[b + 1] - in_off[b] == block
+
+
+def test_lz4_block_roundtrip():
+    """Vendored LZ4-block pareto codec (reference: benches/lz4.rs)."""
+    import random
+    rng = random.Random(5)
+    cases = [b"", b"a", b"ab" * 30000, rng.randbytes(10000),
+             bytes(rng.randbytes(7)) * 9000,
+             (b"abcd" * 5000) + rng.randbytes(300) + (b"xyz" * 2000)]
+    for i in range(20):
+        cases.append(rng.randbytes(rng.randrange(1, 50))
+                     * rng.randrange(1, 400)
+                     + rng.randbytes(rng.randrange(0, 200)))
+    for data in cases:
+        c = native.lz4_compress(data)
+        assert native.lz4_decompress(c, len(data)) == data
