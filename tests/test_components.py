@@ -94,3 +94,33 @@ def test_stats():
     assert st.copy_blocks == 0
     assert sum(st.flag_histogram.values()) == len(data) // 4
     assert st.flag_histogram["predicted"] > 0
+
+
+def test_sharded_encode_has_zero_collectives():
+    """The SPMD encode program must contain NO cross-device
+    collectives: every stream's plan/fsm/assemble stays on the device
+    owning it (SURVEY.md section 2b -- zero collectives in the hot
+    loop), so multi-chip scaling is bounded only by hardware.  The one
+    communication step, the ordered container gather, happens after
+    this program and moves only compressed bytes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from density_tpu.codecs import chameleon
+
+    devs = jax.devices("cpu")
+    mesh = Mesh(np.array(devs), ("streams",))
+    sh = NamedSharding(mesh, P("streams"))
+    S, cap = len(devs) * 2, 4096
+    rng = np.random.default_rng(3)
+    quads = jax.device_put(
+        jnp.asarray(rng.integers(0, 1 << 16, (S, cap // 4),
+                                 dtype=np.uint64).astype(np.uint32)), sh)
+    nbytes = jax.device_put(
+        jnp.asarray(np.full(S, cap, np.int32)), sh)
+    fused = chameleon.PIPELINE.encode_fused_xla
+    hlo = jax.jit(fused).lower(quads, nbytes).compile().as_text()
+    for op in ("all-gather", "all-reduce", "collective-permute",
+               "all-to-all", "reduce-scatter"):
+        assert op not in hlo, f"SPMD encode contains {op}"
