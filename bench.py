@@ -5,10 +5,15 @@ Mirrors the reference bench methodology (reference: benches/density.rs
 equality assert before timing decode) on TPU.
 
 Reported per codec:
-  * end-to-end GB/s: bytes-in to bytes-out including host<->device
-    transfers and container assembly;
   * device GB/s: compute-resident throughput (input already in HBM,
     output left in HBM), the per-chip number that scales across a pod;
+  * decode: chameleon decodes on device (Pallas unpack + bigsort);
+    cheetah/lion production decode of compressible data is the
+    stream-parallel host C++ pool (decode_pool_gbps) -- the per-quad
+    context chain (reference cheetah.rs:148) is serial by format
+    design (docs/PLAN.md);
+  * end-to-end GB/s: bytes-in to bytes-out including host<->device
+    transfers and container assembly (tunnel-bound on this rig);
   * ratio, compared against the *reference codec on the same corpus*
     (single stream, via the native oracle), not against the published
     dickens ratio -- corpora differ.
@@ -16,13 +21,23 @@ Reported per codec:
 Headline (stdout JSON): chameleon device encode GB/s vs the
 reference's published single-core 2.156 GB/s.
 
+Schedule (round-3 postmortem: two of three round artifacts timed out
+with no lion numbers at all): the never-measured codec runs FIRST and
+device metrics run before any e2e timing, so the codecs x metrics
+matrix fills in strictly increasing order of historical availability:
+
+  Phase D   device encode + device/pool decode, lion -> cheetah ->
+            chameleon (1 MiB streams: the padding-free parallel grain)
+  Phase E   ratio + e2e round-trip at library defaults, same order
+  Phase F   native single-core baseline, optional --profile trace
+
 Resilience contract (the driver may kill this process at any time):
-the headline JSON is printed (and flushed) as soon as the first codec
-finishes, then RE-printed, extended, after every additional codec; the
-last JSON line on stdout is always the most complete result. Every
-phase runs under a deadline so one slow cold compile cannot starve the
-artifact. `--profile` captures a jax.profiler trace of one device
-encode+decode to ./profile_trace/.
+the headline JSON is printed (and flushed) after EVERY new number; the
+last JSON line on stdout is always the most complete result.  A
+watchdog thread hard-exits 0 just before the budget (BENCH_BUDGET_S,
+default 1200 s) expires, emitting the final artifact first -- a cold
+compile can overshoot a soft deadline check, but it cannot outrun
+os._exit.
 """
 
 from __future__ import annotations
@@ -30,27 +45,45 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
 
 DEADLINE = None  # set in main()
+RESULTS: dict = {}
+_EMIT_LOCK = threading.Lock()
+_N = 0
+
+# reference single-core (encode, decode) GB/s -- BASELINE.md
+REF_TP = {"chameleon": (2.156, 2.952), "cheetah": (1.191, 1.732),
+          "lion": (0.7004, 1.076)}
 
 
-def _emit(results, n):
+def _emit():
     """Print the (current) headline JSON line on stdout, flushed."""
-    if "chameleon" not in results:
-        return
-    headline = results["chameleon"].get("device_encode_gbps", 0.0)
-    print(json.dumps({
-        "metric": "chameleon_device_encode_throughput",
-        "value": round(headline, 4),
-        "unit": "GB/s",
-        "vs_baseline": round(
-            results["chameleon"].get("dev_enc_vs_ref", 0.0), 4),
-        "detail": {k: {m: round(v, 4) for m, v in r.items()}
-                   for k, r in results.items()},
-    }), flush=True)
+    with _EMIT_LOCK:
+        ch = RESULTS.get("chameleon", {})
+        print(json.dumps({
+            "metric": "chameleon_device_encode_throughput",
+            "value": round(ch.get("device_encode_gbps", 0.0), 4),
+            "unit": "GB/s",
+            "vs_baseline": round(ch.get("dev_enc_vs_ref", 0.0), 4),
+            "detail": {k: {m: round(v, 4) for m, v in r.items()}
+                       for k, r in RESULTS.items()},
+        }), flush=True)
+
+
+def _watchdog(deadline):
+    while True:
+        left = deadline - time.perf_counter()
+        if left <= 0:
+            break
+        time.sleep(min(left, 5.0))
+    print("[bench] watchdog: budget exhausted, emitting final artifact",
+          file=sys.stderr)
+    _emit()
+    os._exit(0)
 
 
 def _left():
@@ -63,21 +96,16 @@ def _sync(out):
     return np.asarray(leaf[(0,) * leaf.ndim])
 
 
-def _time_best(fn, repeats=3):
-    best = float("inf")
-    out = None
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        out = fn()
-        best = min(best, time.perf_counter() - t0)
-        if _left() < 60:
-            break
-    return best, out
-
-
 def _stage_words(codec, data, stream_size):
+    """Stage data exactly as the production path does -- same shapes
+    AND same NamedSharding, so the compile here is byte-for-byte the
+    program container.compress dispatches (sharding is part of the jit
+    cache key: unsharded staging caused a second multi-minute compile
+    of the identical pipeline in the r4 shakedown runs)."""
     from density_tpu.engine import layout
     from density_tpu.constants import SPECS
+    from density_tpu.parallel import sharding
+    from density_tpu.parallel.mesh import default_mesh, stream_sharding
     import jax.numpy as jnp
     spec = SPECS[codec]
     n = len(data)
@@ -89,9 +117,12 @@ def _stage_words(codec, data, stream_size):
     for s in range(S):
         c = buf[s * stream_size:(s + 1) * stream_size]
         v[s, :c.size] = c
-    quads = jnp.asarray(v.view("<u4").reshape(S, cap // 4))
-    nbytes = jnp.asarray(np.clip(
-        n - np.arange(S) * stream_size, 0, stream_size).astype(np.int32))
+    sh = stream_sharding(default_mesh())
+    quads = sharding._put(jnp.asarray(v.view("<u4").reshape(S, cap // 4)),
+                          sh)
+    nbytes = sharding._put(jnp.asarray(np.clip(
+        n - np.arange(S) * stream_size, 0,
+        stream_size).astype(np.int32)), sh)
     return quads, nbytes
 
 
@@ -111,66 +142,48 @@ def _pick_encode_fn(codec, quads):
     return mod.PIPELINE.encode_fused_xla
 
 
-def _device_encode_time(codec, data, stream_size, repeats=3, chain=8):
-    """Device-resident encode throughput: input pre-staged in HBM,
-    output left in HBM.
+def _time_dispatches(fn_call, k, repeats):
+    """Time `k` ASYNC dispatches of fn_call with one final sync.
 
-    The attached TPU sits behind a tunnel with a ~26 ms dispatch+sync
-    round trip, so a single timed dispatch measures the tunnel, not the
-    chip. Chain `chain` dependent encodes inside one jit (separated by
-    optimization barriers so XLA cannot hoist or fold them) and divide;
-    this is the per-chip number that scales across a pod.
+    The attached TPU sits behind a tunnel with a ~27 ms dispatch+sync
+    round trip, but async dispatches pipeline: measured overhead is
+    ~1 ms/dispatch at depth 64.  Timing the production jit callable
+    directly (instead of a separate barrier-chained jit) avoids a
+    SECOND multi-minute XLA compile of the same pipeline per codec --
+    the round-3 artifact starved on exactly those duplicate compiles.
+    Executions on one device serialize in order, so syncing the last
+    dispatch waits for all k.
     """
-    import jax
-    import jax.numpy as jnp
+    _sync(fn_call())  # warm/compile (shares the jit cache with the
+    #                   production path: same callable, same shapes)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(k):
+            out = fn_call()
+        _sync(out)
+        best = min(best, (time.perf_counter() - t0) / k)
+        if _left() < 30:
+            break
+    return best
+
+
+def _device_encode_time(codec, data, stream_size, repeats=2, k=8):
+    """Device-resident encode throughput: input pre-staged in HBM,
+    output left in HBM; the per-chip number that scales across a pod."""
     words, nbytes = _stage_words(codec, data, stream_size)
     fused = _pick_encode_fn(codec, words)
-
-    @jax.jit
-    def chained(words, nbytes):
-        def step(_, carry):
-            w, acc = jax.lax.optimization_barrier(carry)
-            out, totals, ok = fused(w, nbytes)
-            dep = (jnp.sum(totals) + jnp.sum(out[0, :8]).astype(jnp.int32)
-                   + jnp.sum(ok).astype(jnp.int32))
-            return (w, acc ^ dep)
-        return jax.lax.fori_loop(0, chain, step, (words, jnp.int32(0)))[1]
-
-    _sync(chained(words, nbytes))  # warm/compile
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        _sync(chained(words, nbytes))
-        best = min(best, time.perf_counter() - t0)
-    return best / chain
+    return _time_dispatches(lambda: fused(words, nbytes), k, repeats)
 
 
-def _device_decode_time(blob, repeats=3, chain=8):
-    """Device-resident decode throughput (host scan/prep excluded),
-    chained like _device_encode_time."""
-    import jax
-    import jax.numpy as jnp
+def _device_decode_time(blob, repeats=2, k=8):
+    """Device-resident decode throughput (host scan/prep excluded)."""
     from density_tpu.parallel import sharding
     codec, device_args, _, host_meta = sharding.decode_prep(blob)
-    words, woff, copyf, nb_real, out_lens = device_args
     fn = sharding.pick_decode_fn(codec, device_args,
                                  bool(host_meta[2].any()))
-
-    @jax.jit
-    def chained(words, woff, copyf, nb_real, out_lens):
-        def step(_, carry):
-            w, acc = jax.lax.optimization_barrier(carry)
-            out, _ = fn(w, woff, copyf, nb_real, out_lens)
-            return (w, acc ^ jnp.sum(out[0, :8]).astype(jnp.int32))
-        return jax.lax.fori_loop(0, chain, step, (words, jnp.int32(0)))[1]
-
-    _sync(chained(words, woff, copyf, nb_real, out_lens))
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        _sync(chained(words, woff, copyf, nb_real, out_lens))
-        best = min(best, time.perf_counter() - t0)
-    return best / chain
+    return _time_dispatches(lambda: fn(*device_args), k, repeats)
 
 
 def _pool_decode_time(codec, blob, repeats=3):
@@ -213,9 +226,11 @@ def _profile(codec, data, stream_size, blob):
 
 
 def main():
-    global DEADLINE
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    global DEADLINE, _N
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1200"))
     DEADLINE = time.perf_counter() + budget_s
+    threading.Thread(target=_watchdog, args=(DEADLINE - 15.0,),
+                     daemon=True).start()
 
     import jax
     # Persistent compile cache: cold remote compiles behind the tunnel
@@ -235,132 +250,119 @@ def main():
 
     data = corpus_bytes()
     n = len(data)
+    _N = n
     gb = n / 1e9
 
-    # reference single-core throughputs (BASELINE.md) and the reference
-    # codec's ratio on THIS corpus (native oracle, single stream)
-    ref_tp = {"chameleon": (2.156, 2.952), "cheetah": (1.191, 1.732),
-              "lion": (0.7004, 1.076)}
-
-    results = {}
     # device metrics: 1 MiB streams (padding-free parallel grain, all
-    # kernels cached); e2e + ratio: the container default (8 MiB,
-    # ratio-oriented -- see container.DEFAULT_STREAM_SIZE)
+    # kernels cached); e2e + ratio: the per-codec library default
+    # (ratio-oriented -- see container.DEFAULT_STREAM_SIZES)
     stream_size = int(os.environ.get("BENCH_STREAM_SIZE", str(1 << 20)))
     env_e2e = os.environ.get("BENCH_E2E_STREAM_SIZE")
 
     def e2e_stream_for(codec):
         return int(env_e2e) if env_e2e else \
             container.default_stream_size(codec)
-    profile = "--profile" in sys.argv
-    first_blob = None
-    blobs = {}
-    codecs = ["chameleon", "cheetah", "lion"]
 
-    # Phase A (every codec gets a floor before any decode timing runs):
-    # ratio + e2e round-trip + device encode. Phase B: device decode.
-    # Per-codec soft slices stop one slow cold compile from starving
-    # the later codecs (round-2 postmortem: lion never got a number).
-    for i, codec in enumerate(codecs):
-        slice_end = time.perf_counter() + max(
-            60.0, _left() * 0.55 / (len(codecs) - i))
-        try:
-            ref_ratio = n / len(native.encode(codec, data))
-            blob = container.compress(data, codec,
-                                      stream_size=e2e_stream_for(codec))
-            dec = container.decompress(blob)
-            assert dec == data, f"{codec} round-trip failed"
-            ratio = n / len(blob)
-            blobs[codec] = blob
-            if first_blob is None:
-                first_blob = blob
-            enc_ref, dec_ref = ref_tp[codec]
-            results[codec] = {
-                "ratio": ratio,
-                "ref_ratio_same_corpus": ref_ratio,
-                "ratio_vs_ref": ratio / ref_ratio,
-            }
-            t_enc, blob = _time_best(lambda: container.compress(
-                data, codec, stream_size=e2e_stream_for(codec)),
-                repeats=1)
-            t_dec, dec = _time_best(
-                lambda: container.decompress(blob), repeats=1)
-            assert dec == data
-            results[codec]["encode_gbps"] = gb / t_enc
-            results[codec]["decode_gbps"] = gb / t_dec
-            results[codec]["enc_vs_ref"] = (gb / t_enc) / enc_ref
-            results[codec]["dec_vs_ref"] = (gb / t_dec) / dec_ref
-            _emit(results, n)
-            if time.perf_counter() > slice_end and i + 1 < len(codecs):
-                print(f"[bench] {codec}: deferring device encode "
-                      f"(slice used)", file=sys.stderr)
-                continue
-            t_dev = _device_encode_time(codec, data, stream_size)
-            results[codec]["device_encode_gbps"] = gb / t_dev
-            results[codec]["dev_enc_vs_ref"] = (gb / t_dev) / enc_ref
-            _emit(results, n)
-        except Exception as e:  # noqa: BLE001 -- keep the headline alive
-            if codec == "chameleon" and not results.get("chameleon"):
-                raise
-            print(f"[bench] {codec} phase A failed: {e!r}",
+    profile = "--profile" in sys.argv
+    # lion first: the codec the round-2/3 artifacts never measured.
+    codecs = ["lion", "cheetah", "chameleon"]
+    dev_blobs = {}
+
+    # Device phase uses whole streams only: the ragged final stream
+    # would dispatch at its own bucketed capacity, costing one MORE
+    # multi-minute compile per codec for a number the full streams
+    # already give.
+    n_dev_bytes = max(stream_size, n // stream_size * stream_size)
+    data_dev = data[:n_dev_bytes]
+    gb_dev = len(data_dev) / 1e9
+
+    # --- Phase D: device numbers for every codec before any e2e ------
+    for codec in codecs:
+        if _left() < 45:
+            print(f"[bench] {codec}: phase D skipped (budget)",
                   file=sys.stderr)
             continue
-
-    # Phase A': any deferred device-encode numbers
-    for codec in codecs:
-        if codec in results and "device_encode_gbps" not in results[codec] \
-                and _left() > 120:
-            try:
-                t_dev = _device_encode_time(codec, data, stream_size)
-                results[codec]["device_encode_gbps"] = gb / t_dev
-                results[codec]["dev_enc_vs_ref"] = (
-                    gb / t_dev) / ref_tp[codec][0]
-                _emit(results, n)
-            except Exception as e:  # noqa: BLE001
-                print(f"[bench] {codec} device encode failed: {e!r}",
-                      file=sys.stderr)
-
-    # Phase B: device decode. Chameleon: the Pallas unpack + sorter
-    # path. Cheetah/lion: the device fixpoint only converges on
-    # low-prediction data (the per-quad context chain is serial by
-    # format design), so on compressible corpora their production
-    # decode is the stream-parallel host pool -- measured here as
-    # decode_pool_gbps (compressed bytes already host-resident).
-    for codec in codecs:
-        if codec not in results or codec not in blobs or _left() < 90:
+        r = RESULTS.setdefault(codec, {})
+        enc_ref, dec_ref = REF_TP[codec]
+        try:
+            t_dev = _device_encode_time(codec, data_dev, stream_size)
+            r["device_encode_gbps"] = gb_dev / t_dev
+            r["dev_enc_vs_ref"] = (gb_dev / t_dev) / enc_ref
+            _emit()
+        except Exception as e:  # noqa: BLE001 -- keep the artifact alive
+            print(f"[bench] {codec} device encode failed: {e!r}",
+                  file=sys.stderr)
+        if _left() < 45:
             continue
         try:
+            blob = container.compress(data_dev, codec,
+                                      stream_size=stream_size)
+            dec = container.decompress(blob)
+            assert dec == data_dev, f"{codec} 1MiB round-trip failed"
+            dev_blobs[codec] = blob
             if codec == "chameleon":
-                t_ddec = _device_decode_time(blobs[codec])
-                results[codec]["device_decode_gbps"] = gb / t_ddec
-                results[codec]["dev_dec_vs_ref"] = (
-                    gb / t_ddec) / ref_tp[codec][1]
+                t_ddec = _device_decode_time(blob)
+                r["device_decode_gbps"] = gb_dev / t_ddec
+                r["dev_dec_vs_ref"] = (gb_dev / t_ddec) / dec_ref
             else:
-                t_pool = _pool_decode_time(codec, blobs[codec])
-                results[codec]["decode_pool_gbps"] = gb / t_pool
-                results[codec]["pool_dec_vs_ref"] = (
-                    gb / t_pool) / ref_tp[codec][1]
-            _emit(results, n)
+                # production decode of compressible data: the
+                # stream-parallel host C++ pool (docs/PLAN.md)
+                t_pool = _pool_decode_time(codec, blob)
+                r["decode_pool_gbps"] = gb_dev / t_pool
+                r["pool_dec_vs_ref"] = (gb_dev / t_pool) / dec_ref
+            _emit()
         except Exception as e:  # noqa: BLE001
             print(f"[bench] {codec} decode timing failed: {e!r}",
                   file=sys.stderr)
 
+    # --- Phase E: ratio + e2e at library defaults --------------------
     for codec in codecs:
-        r = results.get(codec)
+        if _left() < 45:
+            print(f"[bench] {codec}: phase E skipped (budget)",
+                  file=sys.stderr)
+            continue
+        r = RESULTS.setdefault(codec, {})
+        enc_ref, dec_ref = REF_TP[codec]
+        try:
+            ref_ratio = n / len(native.encode(codec, data))
+            t_enc = time.perf_counter()
+            blob = container.compress(data, codec,
+                                      stream_size=e2e_stream_for(codec))
+            t_enc = time.perf_counter() - t_enc
+            t_dec = time.perf_counter()
+            dec = container.decompress(blob)
+            t_dec = time.perf_counter() - t_dec
+            assert dec == data, f"{codec} round-trip failed"
+            r["ratio"] = n / len(blob)
+            r["ref_ratio_same_corpus"] = ref_ratio
+            r["ratio_vs_ref"] = r["ratio"] / ref_ratio
+            r["encode_gbps"] = gb / t_enc
+            r["decode_gbps"] = gb / t_dec
+            r["enc_vs_ref"] = (gb / t_enc) / enc_ref
+            r["dec_vs_ref"] = (gb / t_dec) / dec_ref
+            _emit()
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench] {codec} phase E failed: {e!r}",
+                  file=sys.stderr)
+
+    for codec in codecs:
+        r = RESULTS.get(codec)
         if not r:
             continue
-        print(f"[bench] {codec}: encode "
-              f"{r.get('encode_gbps', 0):.3f} GB/s e2e / "
-              f"{r.get('device_encode_gbps', 0):.3f} GB/s device "
+        dev_dec = r.get("device_decode_gbps") or r.get("decode_pool_gbps", 0)
+        dd_vs = r.get("dev_dec_vs_ref") or r.get("pool_dec_vs_ref", 0)
+        print(f"[bench] {codec}: device encode "
+              f"{r.get('device_encode_gbps', 0):.3f} GB/s "
               f"({r.get('dev_enc_vs_ref', 0):.2f}x ref), "
-              f"decode {r.get('decode_gbps', 0):.3f} GB/s e2e / "
-              f"{r.get('device_decode_gbps', 0):.3f} GB/s device "
-              f"({r.get('dev_dec_vs_ref', 0):.2f}x ref), "
+              f"decode {dev_dec:.3f} GB/s ({dd_vs:.2f}x ref), "
+              f"e2e {r.get('encode_gbps', 0):.3f}/"
+              f"{r.get('decode_gbps', 0):.3f} GB/s, "
               f"ratio {r.get('ratio', 0):.3f} "
               f"({r.get('ratio_vs_ref', 0):.3f}x ref same-corpus)",
               file=sys.stderr)
-    _emit(results, n)
+    _emit()
 
+    # --- Phase F: native single-core baseline + optional profile -----
     if _left() > 30:
         t0 = time.perf_counter()
         nb = native.encode("chameleon", data)
@@ -368,10 +370,10 @@ def main():
         print(f"[bench] native chameleon encode {gb / t_native:.3f} GB/s, "
               f"ratio {n / len(nb):.3f}", file=sys.stderr)
 
-    if profile and first_blob is not None and _left() > 60:
-        _profile("chameleon", data, stream_size, first_blob)
+    if profile and "chameleon" in dev_blobs and _left() > 60:
+        _profile("chameleon", data, stream_size, dev_blobs["chameleon"])
 
-    _emit(results, n)
+    _emit()
 
 
 if __name__ == "__main__":

@@ -143,10 +143,105 @@ def sig_pack(flags_2d):
     return (f << shifts).sum(axis=2)
 
 
+def _pad_prev(x, fill):
+    """Previous element along axis 1 (batched shift_right)."""
+    return jnp.pad(x[:, :-1], ((0, 0), (1, 0)), constant_values=fill)
+
+
+def _sig32(quads):
+    """32-bit quad fingerprint whose equality EXACTLY matches quad
+    equality, safe to carry through the sort network instead of the
+    quad: top 16 bits = hash ((quad*M) >> 16), low 16 = the product's
+    bits 15..1 plus the quad's top bit.  M/2 is odd, so
+    (hash, low-product-bits, top bit) <-> quad is a bijection; and
+    quad == 0 <=> sig32 == 0 (matching zero-initialized tables)."""
+    from density_tpu.constants import HASH_MULTIPLIER
+    prod = quads * jnp.uint32(HASH_MULTIPLIER)
+    h = (prod >> 16).astype(jnp.uint32)
+    cmp16 = ((prod & 0xFFFF) >> 1) | ((quads >> 31) << 15)
+    return ((h << 16) | cmp16).astype(jnp.int32)
+
+
+def plan_fast_pallas(quads, nbytes, interpret=False):
+    """Batched copy-free planner on the Pallas segmented sorter.
+
+    Same reformulation as classify_fast, with the four lax.sorts
+    replaced by bigsort networks (lax.sort at 2^18 elements dominated
+    both cheetah's 0.12 GB/s device encode AND its multi-minute XLA
+    compiles -- VERDICT r3 item 3). Sort payloads are minimized the
+    chameleon way: the quad travels as the 32-bit equality fingerprint
+    _sig32, flag bits ride packed under the unique index."""
+    sortmod = _sort_mod()
+    S, n_q = quads.shape
+    quads = quads.astype(jnp.uint32)
+    h = hash_quads(quads).astype(jnp.int32)
+    lidx = jnp.broadcast_to(
+        jnp.arange(n_q, dtype=jnp.int32)[None, :], (S, n_q))
+    sig = _sig32(quads)
+    real = lidx < (nbytes[:, None] // 4)
+
+    # --- prediction: prev value in context group ---------------------
+    # dense last_hash chain (copy-free): ctx_i = h_{i-1}, 0 at start
+    ctx = _pad_prev(h, 0)
+    c_s, i_s, v_s = sortmod.sort(ctx, lidx, sig, n_keys=2,
+                                 interpret=interpret)
+    same = c_s == _pad_prev(c_s, -1)
+    pred_s = jnp.where(same, v_s == _pad_prev(v_s, 0), v_s == 0)
+    packed = (i_s << 1) | pred_s.astype(jnp.int32)
+    (up,) = sortmod.sort(packed, n_keys=1, interpret=interpret)
+    predicted = ((up & 1) == 1) & real
+
+    # --- dictionary: MTF-2 over non-predicted, per hash group --------
+    act = (real & ~predicted).astype(jnp.int32)
+    k2 = (lidx << 1) | act
+    h_s, k2_s, v2_s = sortmod.sort(h, k2, sig, n_keys=2,
+                                   interpret=interpret)
+    act_s = (k2_s & 1) == 1
+    firstg = h_s != _pad_prev(h_s, -1)
+    v2_u = v2_s.astype(jnp.uint32)
+    front, second = seg_mtf2_before(firstg, v2_u, act_s, axis=1)
+    a_s = v2_u == front
+    b_s = ~a_s & (v2_u == second)
+    packed2 = (((k2_s >> 1) << 2) | (a_s.astype(jnp.int32) << 1)
+               | b_s.astype(jnp.int32))
+    (up2,) = sortmod.sort(packed2, n_keys=1, interpret=interpret)
+    dict_valid = real & ~predicted
+    map_a = dict_valid & (((up2 >> 1) & 1) == 1)
+    map_b = dict_valid & ((up2 & 1) == 1)
+    plain = dict_valid & ~map_a & ~map_b
+
+    flags = jnp.where(predicted, FLAG_PRED,
+                      jnp.where(map_a, FLAG_MAP_A,
+                                jnp.where(map_b, FLAG_MAP_B, FLAG_PLAIN)))
+    pw = jnp.where(real,
+                   jnp.where(predicted, 0, jnp.where(plain, 2, 1)), 0)
+    hu = h.astype(jnp.uint32)
+    w0 = jnp.where(plain, quads & 0xFFFF, hu).astype(jnp.uint32)
+    w1 = (quads >> 16).astype(jnp.uint32)
+    # per-block incompressibility bits (reference: codec.rs:68)
+    nb = n_q // Q
+    pbw = pw.reshape(S, nb, Q).sum(axis=2)
+    bidx = jnp.arange(nb, dtype=jnp.int32)[None, :]
+    ragged = (nbytes % 4)[:, None]
+    nbr = ((nbytes + BLOCK - 1) // BLOCK)[:, None]
+    enc_bytes = (2 * SIG_WORDS + 2 * pbw
+                 + jnp.where(bidx == nbr - 1, ragged, 0))
+    bits = enc_bytes >= BLOCK
+    return flags.astype(jnp.int32), pw, w0, w1, real, bits
+
+
+def _sort_mod():
+    import os
+    from density_tpu.kernels import bigsort, bitonic
+    return (bitonic if os.environ.get("DENSITY_TPU_SORT") == "bitonic"
+            else bigsort)
+
+
 PIPELINE = layout.build_pipeline(Q=Q, SIG_WORDS=SIG_WORDS, BLOCK=BLOCK,
                                  classify=classify, sig_pack=sig_pack,
                                  classify_fast=classify_fast,
-                                 flag_bits=SPEC.flag_bits)
+                                 flag_bits=SPEC.flag_bits,
+                                 plan_fast_pallas=plan_fast_pallas)
 
 
 def encode(data: bytes | np.ndarray) -> bytes:

@@ -167,10 +167,79 @@ def sig_unpack(sig_w):
     return jnp.stack(flags, axis=1).astype(jnp.int32)
 
 
+def plan_fast_pallas(quads, nbytes, interpret=False):
+    """Batched copy-free planner on the Pallas segmented sorter (see
+    cheetah.plan_fast_pallas; lion swaps the single prediction slot for
+    MTF-5 depths via the same associative monoid, engine/mtf.py).
+    lax.sort at 2^18 elements was both lion's device-encode floor and
+    its multi-minute XLA compile (VERDICT r3 item 3)."""
+    from density_tpu.codecs.cheetah import _pad_prev, _sig32, _sort_mod
+    sortmod = _sort_mod()
+    S, n_q = quads.shape
+    quads = quads.astype(jnp.uint32)
+    h = hash_quads(quads).astype(jnp.int32)
+    lidx = jnp.broadcast_to(
+        jnp.arange(n_q, dtype=jnp.int32)[None, :], (S, n_q))
+    sig = _sig32(quads)
+    real = lidx < (nbytes[:, None] // 4)
+
+    # --- prediction queue: MTF-5 depth within context group ----------
+    ctx = _pad_prev(h, 0)
+    k1 = (lidx << 1) | real.astype(jnp.int32)
+    c_s, k1_s, v_s = sortmod.sort(ctx, k1, sig, n_keys=2,
+                                  interpret=interpret)
+    real1 = (k1_s & 1) == 1
+    firstc = c_s != _pad_prev(c_s, -1)
+    depth_s = mtf_depths_sorted(firstc, v_s.astype(jnp.uint32),
+                                real1, K, axis=1)
+    packed = ((k1_s >> 1) << 3) | depth_s
+    (up,) = sortmod.sort(packed, n_keys=1, interpret=interpret)
+    depth = up & 7
+    predicted = real & (depth < K)
+
+    # --- dictionary: MTF-2 over non-predicted, per hash group --------
+    act = (real & ~predicted).astype(jnp.int32)
+    k2 = (lidx << 1) | act
+    h_s, k2_s, v2_s = sortmod.sort(h, k2, sig, n_keys=2,
+                                   interpret=interpret)
+    act_s = (k2_s & 1) == 1
+    firstg = h_s != _pad_prev(h_s, -1)
+    v2_u = v2_s.astype(jnp.uint32)
+    front, second = seg_mtf2_before(firstg, v2_u, act_s, axis=1)
+    a_s = v2_u == front
+    b_s = ~a_s & (v2_u == second)
+    packed2 = (((k2_s >> 1) << 2) | (a_s.astype(jnp.int32) << 1)
+               | b_s.astype(jnp.int32))
+    (up2,) = sortmod.sort(packed2, n_keys=1, interpret=interpret)
+    dict_valid = real & ~predicted
+    map_a = dict_valid & (((up2 >> 1) & 1) == 1)
+    map_b = dict_valid & ((up2 & 1) == 1)
+    plain = dict_valid & ~map_a & ~map_b
+
+    flags = jnp.where(predicted, depth + 1,
+                      jnp.where(map_a, FLAG_MAP_A,
+                                jnp.where(map_b, FLAG_MAP_B, FLAG_PLAIN)))
+    pw = jnp.where(real,
+                   jnp.where(predicted, 0, jnp.where(plain, 2, 1)), 0)
+    hu = h.astype(jnp.uint32)
+    w0 = jnp.where(plain, quads & 0xFFFF, hu).astype(jnp.uint32)
+    w1 = (quads >> 16).astype(jnp.uint32)
+    nb = n_q // Q
+    pbw = pw.reshape(S, nb, Q).sum(axis=2)
+    bidx = jnp.arange(nb, dtype=jnp.int32)[None, :]
+    ragged = (nbytes % 4)[:, None]
+    nbr = ((nbytes + BLOCK - 1) // BLOCK)[:, None]
+    enc_bytes = (2 * SIG_WORDS + 2 * pbw
+                 + jnp.where(bidx == nbr - 1, ragged, 0))
+    bits = enc_bytes >= BLOCK
+    return flags.astype(jnp.int32), pw, w0, w1, real, bits
+
+
 PIPELINE = layout.build_pipeline(Q=Q, SIG_WORDS=SIG_WORDS, BLOCK=BLOCK,
                                  classify=classify, sig_pack=sig_pack,
                                  classify_fast=classify_fast,
-                                 flag_bits=SPEC.flag_bits)
+                                 flag_bits=SPEC.flag_bits,
+                                 plan_fast_pallas=plan_fast_pallas)
 
 
 def encode(data: bytes | np.ndarray) -> bytes:

@@ -37,24 +37,20 @@ CODEC_IDS = {"chameleon": 0, "cheetah": 1, "lion": 2}
 CODEC_NAMES = {v: k for k, v in CODEC_IDS.items()}
 # Default stream size trades compression ratio against parallel grain:
 # streams reset dictionary state (tier-1 compatibility), so bigger
-# streams compress better -- 8 MiB holds the container ratio at
-# >= 0.99x (chameleon; 0.98-0.99x cheetah/lion) of the reference's
-# single-stream ratio on the bench corpus, while 1 MiB costs 4-11%.
-# Throughput-oriented deployments on pods should pass
-# stream_size ~= total_bytes / (4 * n_devices) instead.
-#
-# Ratio-vs-grain on the bench corpus (10 MB): chameleon 0.994x the
-# reference single-stream ratio at 8 MiB streams; cheetah 0.987x at
-# 8 MiB and >= 0.99x from ~32 MiB up (the prediction codecs thread
-# context through every quad -- cheetah.rs:148, lion.rs:269 -- so
-# dictionary resets at stream boundaries cost them more).  8 MiB is
-# the knee for this corpus size; ratio-critical callers with large
-# inputs should pass stream_size=32<<20 or more.
+# streams compress better.  Ratio-vs-grain on the bench corpus (10 MB):
+# chameleon holds >= 0.99x the reference's single-stream ratio from
+# 8 MiB streams up; the prediction codecs thread context through every
+# quad (cheetah.rs:148, lion.rs:269), so dictionary resets cost them
+# more -- cheetah is 0.987x at 8 MiB and crosses 0.99x only around
+# 32 MiB.  Defaults are chosen for the LIBRARY USER (best ratio at
+# full-stream grain); throughput-oriented pod deployments should pass
+# stream_size ~= total_bytes / (4 * n_devices) instead, floored at a
+# few MiB.
 DEFAULT_STREAM_SIZE = 8 << 20  # 8 MiB
 DEFAULT_STREAM_SIZES = {
-    "chameleon": 8 << 20,
-    "cheetah": 8 << 20,
-    "lion": 8 << 20,
+    "chameleon": 8 << 20,   # >= 0.99x ratio at parallel-friendly grain
+    "cheetah": 32 << 20,    # prediction codecs need coarser streams
+    "lion": 32 << 20,       # for >= 0.99x ratio
 }
 
 

@@ -45,11 +45,53 @@ def unsort_with(idx_sorted: jax.Array, *ops: jax.Array):
     return out[1:] if len(ops) > 1 else out[1]
 
 
-def shift_right(x: jax.Array, fill) -> jax.Array:
-    """Dense shift by one along axis 0 (the 'previous element' in a
+def shift_right(x: jax.Array, fill, axis: int = 0) -> jax.Array:
+    """Dense shift by one along `axis` (the 'previous element' in a
     sorted domain)."""
-    pad = jnp.full((1,) + x.shape[1:], fill, dtype=x.dtype)
-    return jnp.concatenate([pad, x[:-1]], axis=0)
+    return shift_n(x, 1, fill, axis)
+
+
+def shift_n(x: jax.Array, s: int, fill, axis: int = 0) -> jax.Array:
+    """Dense shift by s along `axis`, filling with `fill`."""
+    if s >= x.shape[axis]:
+        shape = x.shape
+    else:
+        shape = list(x.shape)
+        shape[axis] = s
+    pad = jnp.broadcast_to(jnp.asarray(fill, x.dtype), shape)
+    if s >= x.shape[axis]:
+        return pad
+    sl = [slice(None)] * x.ndim
+    sl[axis] = slice(0, x.shape[axis] - s)
+    return jnp.concatenate([pad, x[tuple(sl)]], axis=axis)
+
+
+def monoid_scan(combine, elems, identities, axis: int = 0):
+    """Inclusive segmented-monoid prefix scan via Hillis-Steele
+    doubling: log2(n) applications of combine(state shifted by s,
+    state), shifting along `axis` and filling with the monoid identity
+    (so positions with no left partner combine with the identity and
+    pass through unchanged).
+
+    This replaces jax.lax.associative_scan for the codec monoids: its
+    odd-even recursion emits O(log n) dynamic-slice/concat layers that
+    XLA compiles ORDERS OF MAGNITUDE slower for multi-operand monoids
+    (227 s vs ~2 s for the MTF-2 monoid at n=1024 on CPU; the same
+    blowup made the cheetah/lion fused encode a multi-minute remote
+    TPU compile). Same O(n log n) work, fully dense.
+
+    `axis` indexes the scan dimension in EVERY operand; operands may
+    carry extra trailing state dims (e.g. (n, K) with axis=0).
+    """
+    n = elems[0].shape[axis]
+    state = list(elems)
+    s = 1
+    while s < n:
+        shifted = [shift_n(x, s, f, axis)
+                   for x, f in zip(state, identities)]
+        state = list(combine(tuple(shifted), tuple(state)))
+        s *= 2
+    return state
 
 
 def sort_by_group(group: jax.Array):
@@ -61,12 +103,12 @@ def sort_by_group(group: jax.Array):
     return order, inv
 
 
-def seg_last_active_before(first, vals, active):
+def seg_last_active_before(first, vals, active, axis: int = 0):
     """Sorted-domain segmented fill, gather-free: for each position t,
     the value of the latest ACTIVE position strictly before t within
     its segment (segments delimited by `first`), else 0.
 
-    Dense associative scan: state (value, has); combine keeps the
+    Dense doubling scan: state (value, has); combine keeps the
     right state when it has a value. Returns (value, has).
     """
     val0 = jnp.where(active, vals, 0)
@@ -80,17 +122,18 @@ def seg_last_active_before(first, vals, active):
         h = jnp.where(sb, hb, ha | hb)
         return v, h, sa | sb
 
-    vi, hi, _ = jax.lax.associative_scan(combine, (val0, has0, sticky0))
+    vi, hi, _ = monoid_scan(combine, (val0, has0, sticky0),
+                            (0, False, False), axis)
     # exclusive: shift by one, reset at segment starts
-    v = jnp.where(first, 0, shift_right(vi, 0))
-    h = jnp.where(first, False, shift_right(hi, False))
+    v = jnp.where(first, 0, shift_right(vi, 0, axis))
+    h = jnp.where(first, False, shift_right(hi, False, axis))
     return v, h
 
 
-def seg_mtf2_before(first, vals, active):
+def seg_mtf2_before(first, vals, active, axis: int = 0):
     """Sorted-domain MTF-2 state observed BEFORE each position, over
     active positions, segment-reset at `first`. Gather-free (dense
-    associative scan with the MTF monoid, K=2).
+    doubling scan with the MTF monoid, K=2).
 
     Returns (front, second): the chunk_a/chunk_b pair the reference
     dictionaries would hold when this position is processed, with the
@@ -124,10 +167,10 @@ def seg_mtf2_before(first, vals, active):
         co = jnp.where(sb, cb, cm)
         return o0, o1, co, sa | sb
 
-    i0, i1, ic, _ = jax.lax.associative_scan(
-        combine, (d0, d1, cnt, sticky0))
-    front = jnp.where(first, 0, shift_right(i0, 0))
-    second = jnp.where(first, 0, shift_right(i1, 0))
+    i0, i1, ic, _ = monoid_scan(combine, (d0, d1, cnt, sticky0),
+                                (0, 0, 0, False), axis)
+    front = jnp.where(first, 0, shift_right(i0, 0, axis))
+    second = jnp.where(first, 0, shift_right(i1, 0, axis))
     return front, second
 
 
@@ -180,8 +223,9 @@ def seg_sel2_before(first, op, cval):
         ocb = jnp.where(stb, bcb, ocb)
         return osa, oca, osb, ocb, sta | stb
 
-    isa, ica, isb, icb, _ = jax.lax.associative_scan(
-        combine, (sa, ca, sb, cb, first))
+    # identity map: out_a = in_a (src 0), out_b = in_b (src 1)
+    isa, ica, isb, icb, _ = monoid_scan(
+        combine, (sa, ca, sb, cb, first), (0, 0, 1, 0, False))
     # state after prefix applied to zero-init: const if resolved, else 0
     a_inc = jnp.where(isa == 2, ica, 0)
     b_inc = jnp.where(isb == 2, icb, 0)
@@ -236,7 +280,9 @@ def seg_selq_before(first, kind, depth, cval, K: int):
         ocst = jnp.where(stb[..., None], bcst, ocst)
         return osrc, ocst, sta | stb
 
-    isrc, icst, _ = jax.lax.associative_scan(combine, (src, cst, first))
+    # identity map: every output slot selects its own input slot
+    isrc, icst, _ = monoid_scan(combine, (src, cst, first),
+                                (jnp.arange(K, dtype=jnp.int32), 0, False))
     inc = jnp.where(isrc == K, icst, 0)
     before = jnp.where(first[:, None], 0,
                        jnp.concatenate([jnp.zeros((1, K), inc.dtype),
@@ -251,9 +297,9 @@ def ctx_fill(h, valid):
     x = jnp.where(valid, h.astype(jnp.int32), -1)
 
     def combine(a, b):
-        return jnp.where(b < 0, a, b)
+        return (jnp.where(b[0] < 0, a[0], b[0]),)
 
-    filled = jax.lax.associative_scan(combine, x)
+    (filled,) = monoid_scan(combine, (x,), (-1,))
     prev = shift_right(filled, jnp.int32(-1))
     return jnp.where(prev < 0, 0, prev).astype(jnp.uint32)
 

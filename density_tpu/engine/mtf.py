@@ -51,14 +51,15 @@ def mtf_depths_in_group(group, values, valid, K: int):
     return mtf_depths_sorted(first, v_s, valid_s, K)[inv]
 
 
-def mtf_depths_sorted(first, v_s, valid_s, K: int):
+def mtf_depths_sorted(first, v_s, valid_s, K: int, axis: int = 0):
     """Sorted-domain core of mtf_depths_in_group: inputs already
     grouped contiguously (segment starts marked by `first`). Dense --
-    no gathers; usable directly on multi-operand-sorted data."""
+    no gathers; usable directly on multi-operand-sorted data.
+    Batched callers pass (S, n) arrays with axis=1."""
     # element summaries
     slot = jnp.arange(K)
-    D = jnp.where((slot[None, :] == 0) & valid_s[:, None],
-                  v_s[:, None], 0).astype(v_s.dtype)
+    D = jnp.where((slot == 0) & valid_s[..., None],
+                  v_s[..., None], 0).astype(v_s.dtype)
     cnt = valid_s.astype(jnp.int32)
     sticky = first
 
@@ -84,14 +85,15 @@ def mtf_depths_sorted(first, v_s, valid_s, K: int):
         sto = sta | stb
         return Do, cnto, sto
 
-    Ds, cnts, _ = jax.lax.associative_scan(combine, (D, cnt, sticky), axis=0)
+    from density_tpu.engine.grouping import monoid_scan
+    Ds, cnts, _ = monoid_scan(combine, (D, cnt, sticky),
+                              (0, 0, False), axis)
 
     # state BEFORE element t: scan at t-1, empty at segment starts
-    D_before = jnp.where(first[:, None], 0,
-                         jnp.roll(Ds, 1, axis=0))
-    cnt_before = jnp.where(first, 0, jnp.roll(cnts, 1, axis=0))
+    D_before = jnp.where(first[..., None], 0, jnp.roll(Ds, 1, axis=axis))
+    cnt_before = jnp.where(first, 0, jnp.roll(cnts, 1, axis=axis))
 
-    match = (D_before == v_s[:, None]) & (slot[None, :] < cnt_before[:, None])
+    match = (D_before == v_s[..., None]) & (slot < cnt_before[..., None])
     found = match.any(-1)
     first_match = jnp.argmax(match, axis=-1).astype(jnp.int32)
     zero_pad_hit = (~found) & (v_s == 0) & (cnt_before < K)

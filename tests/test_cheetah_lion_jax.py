@@ -54,3 +54,42 @@ def test_decode_roundtrip(codec, case):
     enc = native.encode(codec, data)
     got = mod.decode(enc, decoded_size_hint=len(data))
     assert got == data, f"{codec}/{case}: len {len(got)} vs {len(data)}"
+
+
+@pytest.mark.parametrize("mod_name", ["cheetah", "lion"])
+def test_plan_fast_pallas_parity(mod_name):
+    """The bigsort-based batched planner must match classify_fast
+    exactly on every valid position (flags, payload sizes, payload
+    words), including ragged tails and padding streams."""
+    import importlib
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from density_tpu.engine.grouping import hash_quads
+    mod = importlib.import_module(f"density_tpu.codecs.{mod_name}")
+    rng = np.random.default_rng(9)
+    S, n_q = 3, 512
+    vocab = rng.integers(1, 1 << 32, 61, dtype=np.uint64).astype(np.uint32)
+    q_np = np.where(rng.random((S, n_q)) < 0.8,
+                    vocab[rng.integers(0, 61, (S, n_q))],
+                    rng.integers(0, 1 << 32, (S, n_q),
+                                 dtype=np.uint64).astype(np.uint32))
+    q_np[0, 100:400] = np.tile(vocab[:10], 30)  # long predicted runs
+    nbytes = np.array([n_q * 4, n_q * 4 - 1234, 800], np.int32)
+    quads = jnp.asarray(q_np)
+    jn = jnp.asarray(nbytes)
+    got = mod.plan_fast_pallas(quads, jn, interpret=True)
+
+    def one(w, n):
+        h = hash_quads(w.astype(jnp.uint32))
+        real = jnp.arange(n_q, dtype=jnp.int32) < n // 4
+        p = mod.classify_fast(w.astype(jnp.uint32), h, real)
+        return p.flags, p.payload_words, p.w0, p.w1, p.valid
+
+    want = jax.vmap(one)(quads, jn)
+    mask = np.asarray(want[4])
+    for g, w, lab in zip(got, want,
+                         ["flags", "pw", "w0", "w1", "valid"]):
+        g, w = np.asarray(g), np.asarray(w)
+        eq = ((g == w) | ~mask) if lab != "valid" else (g == w)
+        assert eq.all(), f"{mod_name} {lab}: {np.argwhere(~eq)[:4]}"
