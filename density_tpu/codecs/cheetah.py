@@ -186,25 +186,31 @@ def plan_fast_pallas(quads, nbytes, interpret=False):
     c_s, i_s, v_s = sortmod.sort(ctx, lidx, sig, n_keys=2,
                                  interpret=interpret)
     same = c_s == _pad_prev(c_s, -1)
-    pred_s = jnp.where(same, v_s == _pad_prev(v_s, 0), v_s == 0)
-    packed = (i_s << 1) | pred_s.astype(jnp.int32)
-    (up,) = sortmod.sort(packed, n_keys=1, interpret=interpret)
-    predicted = ((up & 1) == 1) & real
+    pred_s = (jnp.where(same, v_s == _pad_prev(v_s, 0), v_s == 0)
+              & (i_s < (nbytes[:, None] // 4)))
 
     # --- dictionary: MTF-2 over non-predicted, per hash group --------
-    act = (real & ~predicted).astype(jnp.int32)
-    k2 = (lidx << 1) | act
-    h_s, k2_s, v2_s = sortmod.sort(h, k2, sig, n_keys=2,
+    # sorted DIRECTLY from the ctx domain (a sort ignores input order,
+    # so the prediction unsort is fused away): the element's own hash
+    # is the fingerprint's top half, act/pred bits ride under the
+    # index in key2.
+    h_ctx = (v_s.astype(jnp.uint32) >> 16).astype(jnp.int32)
+    real_ctx = i_s < (nbytes[:, None] // 4)
+    act_ctx = real_ctx & ~pred_s
+    k2 = ((i_s << 2) | (act_ctx.astype(jnp.int32) << 1)
+          | pred_s.astype(jnp.int32))
+    h_s, k2_s, v2_s = sortmod.sort(h_ctx, k2, v_s, n_keys=2,
                                    interpret=interpret)
-    act_s = (k2_s & 1) == 1
+    act_s = ((k2_s >> 1) & 1) == 1
     firstg = h_s != _pad_prev(h_s, -1)
     v2_u = v2_s.astype(jnp.uint32)
     front, second = seg_mtf2_before(firstg, v2_u, act_s, axis=1)
     a_s = v2_u == front
     b_s = ~a_s & (v2_u == second)
-    packed2 = (((k2_s >> 1) << 2) | (a_s.astype(jnp.int32) << 1)
-               | b_s.astype(jnp.int32))
+    packed2 = (((k2_s >> 2) << 3) | ((k2_s & 1) << 2)
+               | (a_s.astype(jnp.int32) << 1) | b_s.astype(jnp.int32))
     (up2,) = sortmod.sort(packed2, n_keys=1, interpret=interpret)
+    predicted = (((up2 >> 2) & 1) == 1) & real
     dict_valid = real & ~predicted
     map_a = dict_valid & (((up2 >> 1) & 1) == 1)
     map_b = dict_valid & ((up2 & 1) == 1)

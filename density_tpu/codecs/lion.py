@@ -185,32 +185,33 @@ def plan_fast_pallas(quads, nbytes, interpret=False):
 
     # --- prediction queue: MTF-5 depth within context group ----------
     ctx = _pad_prev(h, 0)
-    k1 = (lidx << 1) | real.astype(jnp.int32)
-    c_s, k1_s, v_s = sortmod.sort(ctx, k1, sig, n_keys=2,
-                                  interpret=interpret)
-    real1 = (k1_s & 1) == 1
+    c_s, i_s, v_s = sortmod.sort(ctx, lidx, sig, n_keys=2,
+                                 interpret=interpret)
+    real1 = i_s < (nbytes[:, None] // 4)
     firstc = c_s != _pad_prev(c_s, -1)
     depth_s = mtf_depths_sorted(firstc, v_s.astype(jnp.uint32),
                                 real1, K, axis=1)
-    packed = ((k1_s >> 1) << 3) | depth_s
-    (up,) = sortmod.sort(packed, n_keys=1, interpret=interpret)
-    depth = up & 7
-    predicted = real & (depth < K)
 
     # --- dictionary: MTF-2 over non-predicted, per hash group --------
-    act = (real & ~predicted).astype(jnp.int32)
-    k2 = (lidx << 1) | act
-    h_s, k2_s, v2_s = sortmod.sort(h, k2, sig, n_keys=2,
+    # sorted DIRECTLY from the ctx domain (the prediction unsort is
+    # fused away, see cheetah.plan_fast_pallas); depth rides under the
+    # index in key2.
+    h_ctx = (v_s.astype(jnp.uint32) >> 16).astype(jnp.int32)
+    act_ctx = real1 & (depth_s >= K)
+    k2 = (i_s << 4) | (act_ctx.astype(jnp.int32) << 3) | depth_s
+    h_s, k2_s, v2_s = sortmod.sort(h_ctx, k2, v_s, n_keys=2,
                                    interpret=interpret)
-    act_s = (k2_s & 1) == 1
+    act_s = ((k2_s >> 3) & 1) == 1
     firstg = h_s != _pad_prev(h_s, -1)
     v2_u = v2_s.astype(jnp.uint32)
     front, second = seg_mtf2_before(firstg, v2_u, act_s, axis=1)
     a_s = v2_u == front
     b_s = ~a_s & (v2_u == second)
-    packed2 = (((k2_s >> 1) << 2) | (a_s.astype(jnp.int32) << 1)
-               | b_s.astype(jnp.int32))
+    packed2 = (((k2_s >> 4) << 5) | ((k2_s & 7) << 2)
+               | (a_s.astype(jnp.int32) << 1) | b_s.astype(jnp.int32))
     (up2,) = sortmod.sort(packed2, n_keys=1, interpret=interpret)
+    depth = (up2 >> 2) & 7
+    predicted = real & (depth < K)
     dict_valid = real & ~predicted
     map_a = dict_valid & (((up2 >> 1) & 1) == 1)
     map_b = dict_valid & ((up2 & 1) == 1)
