@@ -1,5 +1,5 @@
 """Calibrate remote TPU compile times: trivial jit, small pallas,
-bitonic2 at increasing N."""
+the segmented bigsort at increasing N."""
 import os
 import sys
 import time
@@ -39,13 +39,13 @@ def main():
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM))(x)), x)
 
-    from density_tpu.kernels import bitonic2
+    from density_tpu.kernels import bigsort
     rng = np.random.default_rng(0)
     for N in [1024, 4096, 16384, 65536, 262144]:
         kk = jnp.asarray(rng.integers(0, 2**31, (2, N), dtype=np.int32))
         vv = jnp.asarray(rng.integers(0, 2**31, (2, N), dtype=np.int32))
-        t(f"bitonic2 N={N}",
-          lambda a, b: bitonic2.sort(a, b, n_keys=1), kk, vv)
+        t(f"bigsort N={N}",
+          lambda a, b: bigsort.sort(a, b, n_keys=1), kk, vv)
 
 
 if __name__ == "__main__":

@@ -55,11 +55,11 @@ def main():
         print(f"xla sort 2-op: {t*1e3:.2f} ms (compile {c:.1f}s)")
 
     if which in ("all", "new"):
-        from density_tpu.kernels import bitonic2
-        t, c = timeit(lambda k, v: bitonic2.sort(k, v, n_keys=1), key, val)
-        print(f"new bitonic 2-op: {t*1e3:.2f} ms (compile {c:.1f}s)")
-        t, c = timeit(lambda k: bitonic2.sort(k, n_keys=1), key)
-        print(f"new bitonic 1-op: {t*1e3:.2f} ms (compile {c:.1f}s)")
+        from density_tpu.kernels import bigsort
+        t, c = timeit(lambda k, v: bigsort.sort(k, v, n_keys=1), key, val)
+        print(f"bigsort 2-op: {t*1e3:.2f} ms (compile {c:.1f}s)")
+        t, c = timeit(lambda k: bigsort.sort(k, n_keys=1), key)
+        print(f"bigsort 1-op: {t*1e3:.2f} ms (compile {c:.1f}s)")
 
 
 if __name__ == "__main__":

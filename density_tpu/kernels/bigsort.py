@@ -1,6 +1,6 @@
 """Segmented Pallas bitonic sort: fast compiles at ANY length (TPU).
 
-The monolithic statically-unrolled bitonic kernel (bitonic2.py) is fast
+A monolithic statically-unrolled bitonic kernel (retired in r4) is fast
 but its Mosaic compile time explodes with array length (1.4 s at 2^16
 elements, 738 s at 2^18 -- the static row rotations unroll into O(rows)
 vreg moves per pass). This module runs the SAME Batcher network as a
