@@ -372,42 +372,76 @@ def _resolve_parallel(flags, w0, w1, valid, max_rounds=12):
     return quads, ~changed
 
 
-@jax.jit
-def _resolve_scan(flags, w0, w1, valid):
-    """Serial value resolution (state tables as scan carry)."""
-    n_q = flags.shape[0]
-    tbl = 1 << 16
+@functools.partial(jax.jit, static_argnames=("max_rounds", "interpret"))
+def _resolve_parallel_batched(flags, w0, w1, valid, max_rounds=12,
+                              interpret=False):
+    """Batched (S, N) resolve on the Pallas segmented sorter -- the
+    same two exact facts as _resolve_parallel, with every lax.sort
+    replaced by a bigsort network (lax.sort at 2^18 inside the
+    fixpoint body was a multi-minute TPU compile and ~3x the runtime).
+    N must be a power of two >= 256 (the dispatcher falls back to the
+    vmapped lax.sort path otherwise)."""
+    S, n_q = flags.shape
+    lidx = jnp.broadcast_to(
+        jnp.arange(n_q, dtype=jnp.int32)[None, :], (S, n_q))
+    sortmod = _sort_mod()
+    plain_quad = (w0 | (w1 << 16)).astype(jnp.uint32)
+    is_pred = (flags == FLAG_PRED) & valid
+    nonpred = valid & ~is_pred
+    is_plain = (flags == FLAG_PLAIN) & valid
 
-    def step(state, xs):
-        a, b, p, lh = state
-        flag, w0i, w1i, v = xs
-        plain_quad = (w0i | (w1i << 16)).astype(jnp.uint32)
-        pred_q = p[lh]
-        h_map = w0i.astype(jnp.int32)
-        h = jnp.where(flag == FLAG_PRED, hash_quads(pred_q[None])[0],
-                      jnp.where(flag == FLAG_PLAIN,
-                                hash_quads(plain_quad[None])[0],
-                                w0i)).astype(jnp.int32)
-        a_h = a[h]
-        b_h = b[h]
-        quad = jnp.where(flag == FLAG_PLAIN, plain_quad,
-                         jnp.where(flag == FLAG_MAP_A, a_h,
-                                   jnp.where(flag == FLAG_MAP_B, b_h,
-                                             pred_q)))
-        mru = (flag == FLAG_PLAIN) | (flag == FLAG_MAP_B)
-        new_a = jnp.where(mru, quad, a_h)
-        new_b = jnp.where(mru, a_h, b_h)
-        a = a.at[h].set(jnp.where(v, new_a, a_h))
-        b = b.at[h].set(jnp.where(v, new_b, b_h))
-        p = p.at[lh].set(jnp.where(v, quad, p[lh]))
-        lh = jnp.where(v, h, lh)
-        return (a, b, p, lh), quad
+    # --- dictionary chain: exact, one pass ---------------------------
+    h_dict = jnp.where(is_plain, hash_quads(plain_quad).astype(jnp.int32),
+                       w0.astype(jnp.int32))
+    key = jnp.where(nonpred, h_dict, jnp.int32(1 << 16))
+    op = jnp.where(is_plain, OP_INS,
+                   jnp.where((flags == FLAG_MAP_B) & valid, OP_SWAP,
+                             OP_ID))
+    op = jnp.where(nonpred, op, OP_ID)
+    k2 = (lidx << 4) | (op << 2) | (flags & 3)
+    k_s, k2_s, cv_s = sortmod.sort(key, k2,
+                                   plain_quad.astype(jnp.int32), n_keys=2,
+                                   interpret=interpret)
+    first = k_s != _pad_prev(k_s, -1)
+    a_b, b_b = seg_sel2_before(first, (k2_s >> 2) & 3,
+                               cv_s.astype(jnp.uint32), axis=1)
+    fl_s = k2_s & 3
+    val_s = jnp.where(fl_s == FLAG_MAP_A, a_b,
+                      jnp.where(fl_s == FLAG_MAP_B, b_b,
+                                cv_s.astype(jnp.uint32)))
+    _, dv = sortmod.sort(k2_s >> 4, val_s.astype(jnp.int32), n_keys=1,
+                         interpret=interpret)
+    quads0 = jnp.where(nonpred, dv.astype(jnp.uint32), 0)
 
-    init = (jnp.zeros(tbl, jnp.uint32), jnp.zeros(tbl, jnp.uint32),
-            jnp.zeros(tbl, jnp.uint32), jnp.int32(0))
-    _, quads = jax.lax.scan(step, init, (flags, w0, w1, valid),
-                            unroll=8)
-    return quads
+    # --- context fixpoint for predicted tokens -----------------------
+    np_i = nonpred.astype(jnp.int32)
+
+    def body(carry):
+        quads, _, it = carry
+        ctx = ctx_fill(hash_quads(quads), valid, axis=1)
+        ckey = jnp.where(valid, ctx.astype(jnp.int32), jnp.int32(1 << 16))
+        ck2 = (lidx << 1) | np_i
+        ck_s, ck2_s, q_s = sortmod.sort(ckey, ck2,
+                                        quads.astype(jnp.int32), n_keys=2,
+                                        interpret=interpret)
+        cfirst = ck_s != _pad_prev(ck_s, -1)
+        fill, _ = seg_last_active_before(cfirst, q_s, (ck2_s & 1) == 1,
+                                         axis=1)
+        _, pv = sortmod.sort(ck2_s >> 1, fill.astype(jnp.int32), n_keys=1,
+                             interpret=interpret)
+        new_quads = jnp.where(is_pred, pv.astype(jnp.uint32), quads)
+        changed_s = jnp.any((new_quads != quads) & is_pred, axis=1)
+        return new_quads, changed_s, it + 1
+
+    def cond(carry):
+        _, changed_s, it = carry
+        return jnp.any(changed_s) & (it < max_rounds)
+
+    quads, changed_s, _ = jax.lax.while_loop(
+        cond, body, (quads0, jnp.ones(S, bool), jnp.int32(0)))
+    # a stream unchanged in the final round is at ITS fixpoint (its
+    # update reads only its own positions), hence exactly decoded
+    return quads, ~changed_s
 
 
 @jax.jit

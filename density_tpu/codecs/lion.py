@@ -352,45 +352,79 @@ def _resolve_parallel(flags, w0, w1, valid, max_rounds=12):
     return quads, ~changed
 
 
-@jax.jit
-def _resolve_scan(flags, w0, w1, valid):
-    tbl = 1 << 16
-    slots = jnp.arange(K, dtype=jnp.int32)
+@functools.partial(jax.jit, static_argnames=("max_rounds", "interpret"))
+def _resolve_parallel_batched(flags, w0, w1, valid, max_rounds=12,
+                              interpret=False):
+    """Batched (S, N) resolve on the Pallas segmented sorter (see
+    cheetah._resolve_parallel_batched; lion swaps the 2-slot selection
+    monoid for the K-slot queue, grouping.seg_selq_before). N must be
+    a power of two >= 256."""
+    from density_tpu.codecs.cheetah import _pad_prev, _sort_mod
+    S, n_q = flags.shape
+    lidx = jnp.broadcast_to(
+        jnp.arange(n_q, dtype=jnp.int32)[None, :], (S, n_q))
+    sortmod = _sort_mod()
+    plain_quad = (w0 | (w1 << 16)).astype(jnp.uint32)
+    is_pred = (flags >= FLAG_PRED_A) & (flags <= K) & valid
+    nonpred = valid & ~is_pred
+    is_plain = (flags == FLAG_PLAIN) & valid
 
-    def step(state, xs):
-        a, b, p5, lh = state
-        flag, w0i, w1i, v = xs
-        plain_quad = (w0i | (w1i << 16)).astype(jnp.uint32)
-        prow = p5[lh]  # (5,)
-        is_pred = (flag >= FLAG_PRED_A) & (flag <= K)
-        depth = jnp.clip(flag - 1, 0, K - 1)
-        pred_q = prow[depth]
-        h = jnp.where(flag == FLAG_PLAIN, hash_quads(plain_quad[None])[0],
-                      jnp.where(is_pred, hash_quads(pred_q[None])[0],
-                                w0i)).astype(jnp.int32)
-        a_h = a[h]
-        b_h = b[h]
-        quad = jnp.where(flag == FLAG_PLAIN, plain_quad,
-                         jnp.where(flag == FLAG_MAP_A, a_h,
-                                   jnp.where(flag == FLAG_MAP_B, b_h,
-                                             pred_q)))
-        mru = (flag == FLAG_PLAIN) | (flag == FLAG_MAP_B)
-        a = a.at[h].set(jnp.where(v & mru, quad, a_h))
-        b = b.at[h].set(jnp.where(v & mru, a_h, b_h))
-        # prediction row update: promote at depth d (d=5 for misses)
-        d_u = jnp.where(is_pred, depth, K)
-        new_row = jnp.where(slots == 0, quad,
-                            jnp.where(slots <= d_u,
-                                      prow[jnp.maximum(slots - 1, 0)], prow))
-        p5 = p5.at[lh].set(jnp.where(v, new_row, prow))
-        lh = jnp.where(v, h, lh)
-        return (a, b, p5, lh), quad
+    # --- dictionary chain: exact, one pass ---------------------------
+    h_dict = jnp.where(is_plain, hash_quads(plain_quad).astype(jnp.int32),
+                       w0.astype(jnp.int32))
+    key = jnp.where(nonpred, h_dict, jnp.int32(1 << 16))
+    op = jnp.where(is_plain, OP_INS,
+                   jnp.where((flags == FLAG_MAP_B) & valid, OP_SWAP,
+                             OP_ID))
+    op = jnp.where(nonpred, op, OP_ID)
+    k2 = (lidx << 5) | (op << 3) | flags
+    k_s, k2_s, cv_s = sortmod.sort(key, k2,
+                                   plain_quad.astype(jnp.int32), n_keys=2,
+                                   interpret=interpret)
+    first = k_s != _pad_prev(k_s, -1)
+    a_b, b_b = seg_sel2_before(first, (k2_s >> 3) & 3,
+                               cv_s.astype(jnp.uint32), axis=1)
+    fl_s = k2_s & 7
+    val_s = jnp.where(fl_s == FLAG_MAP_A, a_b,
+                      jnp.where(fl_s == FLAG_MAP_B, b_b,
+                                cv_s.astype(jnp.uint32)))
+    _, dv = sortmod.sort(k2_s >> 5, val_s.astype(jnp.int32), n_keys=1,
+                         interpret=interpret)
+    quads0 = jnp.where(nonpred, dv.astype(jnp.uint32), 0)
 
-    init = (jnp.zeros(tbl, jnp.uint32), jnp.zeros(tbl, jnp.uint32),
-            jnp.zeros((tbl, K), jnp.uint32), jnp.int32(0))
-    _, quads = jax.lax.scan(step, init, (flags, w0, w1, valid),
-                            unroll=8)
-    return quads
+    # --- context fixpoint over the K-slot queues ---------------------
+    kind = jnp.where(nonpred, OP_INS, jnp.where(is_pred, OP_SWAP, OP_ID))
+    depth = jnp.clip(flags - 1, 0, K - 1)
+    slot = jnp.arange(K, dtype=jnp.int32)
+
+    def body(carry):
+        quads, _, it = carry
+        ctx = ctx_fill(hash_quads(quads), valid, axis=1)
+        ckey = jnp.where(valid, ctx.astype(jnp.int32), jnp.int32(1 << 16))
+        ck2 = (lidx << 5) | (kind << 3) | depth
+        ck_s, ck2_s, q_s = sortmod.sort(ckey, ck2,
+                                        quads.astype(jnp.int32), n_keys=2,
+                                        interpret=interpret)
+        cfirst = ck_s != _pad_prev(ck_s, -1)
+        kind_s = (ck2_s >> 3) & 3
+        d_s = ck2_s & 7
+        before = seg_selq_before(cfirst, kind_s,
+                                 jnp.where(kind_s == OP_INS, 0, d_s),
+                                 q_s.astype(jnp.uint32), K, axis=1)
+        read_s = (before * (slot == d_s[..., None])).sum(axis=-1)
+        _, pv = sortmod.sort(ck2_s >> 5, read_s.astype(jnp.int32),
+                             n_keys=1, interpret=interpret)
+        new_quads = jnp.where(is_pred, pv.astype(jnp.uint32), quads)
+        changed_s = jnp.any((new_quads != quads) & is_pred, axis=1)
+        return new_quads, changed_s, it + 1
+
+    def cond(carry):
+        _, changed_s, it = carry
+        return jnp.any(changed_s) & (it < max_rounds)
+
+    quads, changed_s, _ = jax.lax.while_loop(
+        cond, body, (quads0, jnp.ones(S, bool), jnp.int32(0)))
+    return quads, ~changed_s
 
 
 @jax.jit

@@ -177,7 +177,7 @@ def seg_mtf2_before(first, vals, active, axis: int = 0):
 OP_ID, OP_SWAP, OP_INS = 0, 1, 2
 
 
-def seg_sel2_before(first, op, cval):
+def seg_sel2_before(first, op, cval, axis: int = 0):
     """Sorted-domain MTF-2 state BEFORE each position from *flag-driven*
     ops (decode side): OP_INS inserts the constant `cval` ((a,b) <-
     (c, a)), OP_SWAP swaps ((a,b) <- (b, a)), OP_ID leaves the state.
@@ -225,16 +225,17 @@ def seg_sel2_before(first, op, cval):
 
     # identity map: out_a = in_a (src 0), out_b = in_b (src 1)
     isa, ica, isb, icb, _ = monoid_scan(
-        combine, (sa, ca, sb, cb, first), (0, 0, 1, 0, False))
+        combine, (sa, ca, sb, cb, first), (0, 0, 1, 0, False), axis)
     # state after prefix applied to zero-init: const if resolved, else 0
     a_inc = jnp.where(isa == 2, ica, 0)
     b_inc = jnp.where(isb == 2, icb, 0)
-    a_before = jnp.where(first, 0, shift_right(a_inc, 0))
-    b_before = jnp.where(first, 0, shift_right(b_inc, 0))
+    a_before = jnp.where(first, 0, shift_right(a_inc, 0, axis))
+    b_before = jnp.where(first, 0, shift_right(b_inc, 0, axis))
     return a_before, b_before
 
 
-def seg_selq_before(first, kind, depth, cval, K: int):
+def seg_selq_before(first, kind, depth, cval, K: int,
+                    axis: int = 0):
     """Sorted-domain K-slot prediction-queue state BEFORE each position
     from flag-driven ops (lion decode; reference lion.rs:50-57,126-186):
 
@@ -247,22 +248,22 @@ def seg_selq_before(first, kind, depth, cval, K: int):
     Segments reset to the zero-initialized queue at `first`.
     Returns slots_before: (n, K) uint32.
     """
-    n = kind.shape[0]
     cval = cval.astype(jnp.uint32)
-    slot = jnp.arange(K, dtype=jnp.int32)[None, :]
-    d = depth[:, None]
+    slot = jnp.arange(K, dtype=jnp.int32)
+    d = depth[..., None]
     # element = selection map per output slot: src in [0..K-1] input
     # slot, or K = const
     src_ins = jnp.where(slot == 0, K, slot - 1)
     src_pro = jnp.where(slot == 0, d,
                         jnp.where(slot <= d, slot - 1, slot))
-    src = jnp.where((kind == OP_INS)[:, None], src_ins,
-                    jnp.where((kind == OP_SWAP)[:, None], src_pro, slot))
-    cst = jnp.where((kind == OP_INS)[:, None] & (slot == 0),
-                    cval[:, None], 0)
+    src = jnp.where((kind == OP_INS)[..., None], src_ins,
+                    jnp.where((kind == OP_SWAP)[..., None], src_pro,
+                              jnp.broadcast_to(slot, d.shape[:-1] + (K,))))
+    cst = jnp.where((kind == OP_INS)[..., None] & (slot == 0),
+                    cval[..., None], 0)
     # segment starts: unresolved selectors become const 0
-    cst = jnp.where(first[:, None] & (src != K), 0, cst)
-    src = jnp.where(first[:, None], K, src)
+    cst = jnp.where(first[..., None] & (src != K), 0, cst)
+    src = jnp.where(first[..., None], K, src)
 
     def combine(a, b):
         asrc, acst, sta = a
@@ -282,25 +283,24 @@ def seg_selq_before(first, kind, depth, cval, K: int):
 
     # identity map: every output slot selects its own input slot
     isrc, icst, _ = monoid_scan(combine, (src, cst, first),
-                                (jnp.arange(K, dtype=jnp.int32), 0, False))
+                                (jnp.arange(K, dtype=jnp.int32), 0, False),
+                                axis)
     inc = jnp.where(isrc == K, icst, 0)
-    before = jnp.where(first[:, None], 0,
-                       jnp.concatenate([jnp.zeros((1, K), inc.dtype),
-                                        inc[:-1]], axis=0))
+    before = jnp.where(first[..., None], 0, shift_right(inc, 0, axis))
     return before
 
 
-def ctx_fill(h, valid):
+def ctx_fill(h, valid, axis: int = 0):
     """Dense last_hash chain: hash of the latest valid position strictly
     before i, 0 if none (reference: cheetah.rs:148, lion.rs:269).
-    Gather-free (associative keep-right-if-set scan)."""
+    Gather-free (keep-right-if-set doubling scan)."""
     x = jnp.where(valid, h.astype(jnp.int32), -1)
 
     def combine(a, b):
         return (jnp.where(b[0] < 0, a[0], b[0]),)
 
-    (filled,) = monoid_scan(combine, (x,), (-1,))
-    prev = shift_right(filled, jnp.int32(-1))
+    (filled,) = monoid_scan(combine, (x,), (-1,), axis)
+    prev = shift_right(filled, jnp.int32(-1), axis)
     return jnp.where(prev < 0, 0, prev).astype(jnp.uint32)
 
 

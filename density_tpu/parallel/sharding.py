@@ -192,6 +192,10 @@ def pick_decode_fn(codec, device_args, any_copy: bool):
             and len(devs) == 1 and plat in ("tpu", "axon")):
         return functools.partial(_decode_batch_fast_cham,
                                  with_copy=any_copy)
+    if (codec != "chameleon" and pow2 and len(devs) == 1
+            and plat in ("tpu", "axon")):
+        # bigsort fixpoint resolve (Pallas segment kernels)
+        return functools.partial(_decode_batch_big, codec=codec)
     return functools.partial(_decode_batch, codec=codec)
 
 
@@ -217,6 +221,24 @@ def _decode_batch(wbytes, in_word_off, is_copy, nb_real, out_len, codec):
                                          ol), ok
 
     return jax.vmap(one)(words, in_word_off, is_copy, nb_real, out_len)
+
+
+@functools.partial(jax.jit, static_argnames=("codec",))
+def _decode_batch_big(wbytes, in_word_off, is_copy, nb_real, out_len,
+                      codec):
+    """Cheetah/lion batched decode with the bigsort resolve: identical
+    semantics to _decode_batch, with the fixpoint's lax.sorts replaced
+    by Pallas segment-sorter networks (TPU only; the dispatcher
+    requires a power-of-two quad capacity)."""
+    words = _widen(wbytes)
+    mod = _codec_mod(codec)
+    flags, w0, w1, valid = jax.vmap(mod._extract_tokens.__wrapped__)(
+        words, in_word_off, is_copy, nb_real, out_len)
+    quads, ok = mod._resolve_parallel_batched.__wrapped__(
+        flags, w0, w1, valid)
+    out = jax.vmap(mod._assemble.__wrapped__)(
+        quads, valid, words, in_word_off, is_copy, nb_real, out_len)
+    return out, ok
 
 
 def decode_prep(data: bytes, mesh=None):

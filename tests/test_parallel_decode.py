@@ -151,3 +151,34 @@ def test_decode_batch_parallel_ok(codec):
     _, ok2 = sharding._decode_batch(*device_args2, codec)
     assert np.asarray(ok2).all()
     assert container.decompress(blob2) == rnd
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("codec", ["cheetah", "lion"])
+def test_resolve_parallel_batched_parity(codec):
+    """The bigsort-based batched fixpoint resolve must match the
+    vmapped lax.sort resolve exactly (values and per-stream
+    convergence) on real encoded streams."""
+    import importlib
+    import jax
+    from density_tpu import container
+    from density_tpu.parallel import sharding
+    rng = np.random.default_rng(12)
+    vocab = rng.integers(1, 1 << 32, 97, dtype=np.uint64).astype(np.uint32)
+    ss = 4096
+    data = vocab[rng.integers(0, 97, (3 * ss) // 4)].astype(
+        "<u4").tobytes()[:3 * ss - 77]
+    blob = container.compress(data, codec, stream_size=ss)
+    _, device_args, _, _ = sharding.decode_prep(blob)
+    words, woff, copyf, nb_real, out_lens = device_args
+    mod = importlib.import_module(f"density_tpu.codecs.{codec}")
+    w = sharding._widen(words)
+    flags, w0, w1, valid = jax.vmap(mod._extract_tokens.__wrapped__)(
+        w, woff, copyf, nb_real, out_lens)
+    q_ref, ok_ref = jax.vmap(mod._resolve_parallel.__wrapped__)(
+        flags, w0, w1, valid)
+    q_new, ok_new = mod._resolve_parallel_batched(flags, w0, w1, valid,
+                                                  interpret=True)
+    mask = np.asarray(valid)
+    assert (np.asarray(ok_new) == np.asarray(ok_ref)).all()
+    assert (((np.asarray(q_new) == np.asarray(q_ref)) | ~mask)).all()
