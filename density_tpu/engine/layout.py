@@ -345,9 +345,39 @@ def run_encode(pipe: EncodePipeline, quads, nbytes):
         out_words, totals = pipe.assemble_fast(quads, nbytes, flags, pw,
                                                w0, w1, valid)
     else:
-        out_words, totals = pipe.assemble(quads, nbytes, copy, flags, pw,
-                                          w0, w1, valid)
+        out_words, totals = _assemble_masked(pipe, quads, nbytes, copy,
+                                             flags, pw, w0, w1, valid)
     return out_words, totals, converged
+
+
+def _assemble_masked(pipe, quads, nbytes, copy, flags, pw, w0, w1, valid):
+    """Masked (with-copy) assembly, chunked to <= 8 streams on TPU.
+
+    XLA:TPU miscompiles the vmapped masked assembly at some stream
+    batches: lion (SIG_WORDS=3) at S in 9..12 returns ALL-ZERO outputs
+    on v5e while S <= 8 and S = 16 are exact and CPU is exact at every
+    S (identical jitted code; jax 0.9.0/libtpu, reproduced with and
+    without the persistent compile cache). The copy path is rare --
+    only streams whose blowup FSM armed copy blocks reach it -- so the
+    extra dispatches are noise; regression pinned in
+    tests/test_tpu_smoke.py."""
+    try:
+        plat = next(iter(quads.devices())).platform
+    except Exception:  # noqa: BLE001
+        plat = ""
+    S = quads.shape[0]
+    if plat not in ("tpu", "axon") or S <= 8:
+        return pipe.assemble(quads, nbytes, copy, flags, pw, w0, w1,
+                             valid)
+    outs, tots = [], []
+    for lo in range(0, S, 8):
+        hi = min(lo + 8, S)
+        ow, tt = pipe.assemble(quads[lo:hi], nbytes[lo:hi], copy[lo:hi],
+                               flags[lo:hi], pw[lo:hi], w0[lo:hi],
+                               w1[lo:hi], valid[lo:hi])
+        outs.append(ow)
+        tots.append(tt)
+    return jnp.concatenate(outs, axis=0), jnp.concatenate(tots, axis=0)
 
 
 def encode_oneshot(pipe: EncodePipeline, codec_name: str,

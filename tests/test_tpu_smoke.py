@@ -26,3 +26,28 @@ def test_tpu_bit_exact(codec):
         enc = mod.encode(data)
         assert enc == native.encode(codec, data)
         assert mod.decode(enc, decoded_size_hint=len(data)) == data
+
+
+@pytest.mark.slow
+def test_masked_assemble_batch9_regression():
+    """XLA:TPU miscompile regression (r4): the vmapped masked assembly
+    returned ALL-ZERO outputs for lion at stream batches 9..12 on v5e
+    (exact on CPU and at S<=8/16, identical jitted code). The engine
+    now chunks the copy-path assembly to <=8 streams on TPU
+    (layout._assemble_masked); this pins the end-to-end result: a
+    9-stream lion container whose FSM arms copy blocks must be
+    byte-exact vs the native oracle."""
+    import numpy as np
+    from density_tpu import container, native
+    rng = np.random.default_rng(4)
+    vocab = rng.integers(1, 1 << 32, 100,
+                         dtype=np.uint64).astype(np.uint32)
+    ss = 1 << 20
+    n = 9 * ss
+    data = vocab[rng.integers(0, 100, n // 4)].astype("<u4").tobytes()
+    blob = container.compress(data, "lion", stream_size=ss)
+    _, _, _, lengths, off = container.parse_header(blob)
+    assert int(lengths[0]) > 0
+    assert blob[off:off + int(lengths[0])] == native.encode(
+        "lion", data[:ss])
+    assert container.decompress(blob) == data
