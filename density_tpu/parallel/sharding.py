@@ -304,8 +304,15 @@ def decode_prep(data: bytes, mesh=None):
 # Above this predicted-token fraction the cheetah/lion context
 # fixpoint provably needs more rounds than its cap on typical data
 # (it converges ~one position per round through predicted runs, see
-# codecs/cheetah._resolve_parallel), so the device attempt would be
-# wasted work before the exact host decode runs anyway.
+# codecs/cheetah._resolve_parallel).  Measured on v5e (r4, 9 x 1 MiB
+# streams): the fixpoint CONVERGES up to ~4% (cheetah) / ~1.3% (lion)
+# predicted at 0.02-0.04 GB/s and diverges at ~10%, while the host
+# C++ pool decodes the same data at 1.5-1.9 GB/s -- so when the
+# native runtime is present the pool wins at EVERY fraction and this
+# cutoff is moot; it gates the device attempt only when the pool is
+# unavailable (no C++ toolchain -- the alternative there is the
+# pure-Python scalar oracle at ~1e-3 GB/s, which the device fixpoint
+# beats by ~30x wherever it converges).
 PREDICTED_DEVICE_CUTOFF = 0.02
 
 
@@ -325,11 +332,15 @@ def decompress(data: bytes, mesh=None) -> bytes:
         return b""
     codec, device_args, streams, host_meta = decode_prep(data, mesh)
     original_len, out_lens, copyf, nb_real, s_real, pred_frac = host_meta
-    if (codec != "chameleon" and pred_frac > PREDICTED_DEVICE_CUTOFF
-            and jax.process_count() == 1):
-        # prediction-heavy compressible data: the device fixpoint
-        # cannot converge within its round cap -- skip straight to the
-        # parallel host decode instead of paying for the attempt
+    from density_tpu import native
+    if (codec != "chameleon" and jax.process_count() == 1
+            and native.is_available()
+            and pred_frac > PREDICTED_DEVICE_CUTOFF):
+        # The host C++ pool decodes compressible prediction-codec data
+        # 40-70x faster than the device fixpoint at every measured
+        # predicted fraction (docs/PLAN.md r4 cliff table); below the
+        # cutoff the device fixpoint converges in a couple of rounds
+        # and keeps the data on-chip, so it stays the device path.
         out = _decode_host_parallel(codec, streams, out_lens, s_real)
         if len(out) != original_len:
             raise DecodeError(
