@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import numpy as np
 
 from density_tpu.constants import SPECS
@@ -67,4 +68,72 @@ def stream_stats(codec: str, data: bytes, compressed: bytes) -> StreamStats:
         n_blocks=len(in_off),
         copy_blocks=int(np.asarray(is_copy).sum()),
         flag_histogram=hist,
+    )
+
+
+def encode_stats(codec: str, data: bytes) -> StreamStats:
+    """Device-computed encode-side statistics (SURVEY.md §5): run the
+    device planner once and reduce the flag histogram, per-block
+    encoded sizes, and copy-block count as device arrays -- only the
+    final handful of scalars crosses to the host.  Matches
+    stream_stats(codec, data, encode(data)) on the token counts."""
+    import jax.numpy as jnp
+    import importlib
+    from density_tpu.engine import layout
+
+    mod = importlib.import_module(f"density_tpu.codecs.{codec}")
+    pipe = mod.PIPELINE
+    spec = SPECS[codec]
+    buf = np.frombuffer(bytes(data), dtype=np.uint8)
+    n = buf.size
+    if n == 0:
+        return StreamStats(codec, 0, 0, 0, 0,
+                           {v: 0 for v in _FLAG_NAMES[codec].values()})
+    cap = layout.bucket_bytes(n, spec.block_size)
+    padded = np.zeros(cap, np.uint8)
+    padded[:n] = buf
+    quads = jnp.asarray(padded.view("<u4")[None, :])
+    nbytes = jnp.asarray(np.array([n], np.int32))
+
+    # mirror run_encode's copy fixpoint (the plan is the stats source)
+    S, n_q = quads.shape
+    nb = n_q // pipe.Q
+    copy = jnp.zeros((S, nb), bool)
+    for it in range(layout.MAX_FIXED_POINT_ITERS):
+        if it == 0 and pipe.plan_fast is not None:
+            flags, pw, w0, w1, valid, bits = pipe.plan_fast(quads, nbytes)
+        else:
+            flags, pw, w0, w1, valid, bits = pipe.plan(quads, nbytes,
+                                                       copy)
+        new_copy = pipe.step_fsm(bits, nbytes)
+        if not bool(jnp.any(new_copy != copy)):
+            break
+        copy = new_copy
+
+    n_flags = 1 << spec.flag_bits
+    copy_q = jnp.repeat(copy, pipe.Q, axis=1)
+    live = valid & ~copy_q
+
+    def _reduce(flags, live, pw, copy):
+        hist = jnp.stack([jnp.sum(live & (flags == k))
+                          for k in range(n_flags)])
+        return hist, jnp.sum(copy), 2 * jnp.sum(jnp.where(live, pw, 0))
+
+    hist, n_copy, pay_bytes = jax.jit(_reduce)(flags, live, pw, copy)
+    hist = np.asarray(hist)
+    n_blocks_real = -(-n // spec.block_size)
+    n_copy = int(n_copy)
+    comp = (int(pay_bytes) + (n_blocks_real - n_copy) * spec.sig_bytes
+            + sum(min(spec.block_size, n - b * spec.block_size)
+                  for b in np.nonzero(np.asarray(copy[0]))[0])
+            + n % 4)
+    return StreamStats(
+        codec=codec,
+        original_bytes=n,
+        compressed_bytes=comp,
+        n_blocks=n_blocks_real,
+        copy_blocks=n_copy,
+        flag_histogram={_FLAG_NAMES[codec][k]: int(hist[k])
+                        for k in range(n_flags)
+                        if k in _FLAG_NAMES[codec]},
     )

@@ -124,3 +124,20 @@ def test_sharded_encode_has_zero_collectives():
     for op in ("all-gather", "all-reduce", "collective-permute",
                "all-to-all", "reduce-scatter"):
         assert op not in hlo, f"SPMD encode contains {op}"
+
+
+def test_encode_stats_device_matches_wire_walk():
+    """Device-computed stats (one jitted reduce over the planner's
+    arrays) must match the host-side wire walk of the actual encoded
+    stream, including the predicted compressed size."""
+    import random
+    from density_tpu import native, stats
+    rng = random.Random(7)
+    data = (b"device stats parity " * 300) + rng.randbytes(4000) + b"tl"
+    for codec in ("chameleon", "cheetah", "lion"):
+        enc = native.encode(codec, data)
+        a = stats.stream_stats(codec, data, enc)
+        b = stats.encode_stats(codec, data)
+        assert a.flag_histogram == b.flag_histogram
+        assert (a.copy_blocks, a.n_blocks) == (b.copy_blocks, b.n_blocks)
+        assert b.compressed_bytes == len(enc)
