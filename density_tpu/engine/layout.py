@@ -221,9 +221,21 @@ def build_pipeline(*, Q: int, SIG_WORDS: int, BLOCK: int,
         return out_words, total, ok
 
     def fused_pallas_batched(quads, nbytes, interpret=False):
-        """Batched fused fast path with Pallas pack assembly (TPU)."""
-        from density_tpu.kernels import pack as packmod
+        """Batched fused fast path with Pallas pack assembly (TPU).
+
+        Assembly kernel choice (trace-time): the routing-network pack
+        (kernels/packroute.py -- monotone compact/expand passes, the
+        unpack kernel's inverse) replaced the one-hot/MXU placement
+        kernel as default in r4: 15.2 ms -> ~3 ms for 10 MB on v5e.
+        DENSITY_TPU_PACK=onehot selects the old kernel for comparison.
+        """
+        import os as _os
+        from density_tpu.kernels import pack as _packold
+        from density_tpu.kernels import packroute as _packroute
         n_q = quads.shape[1]
+        use_route = (_os.environ.get("DENSITY_TPU_PACK", "route")
+                     == "route" and n_q % 16384 == 0)
+        packmod = _packroute if use_route else _packold
         pow2 = n_q >= 256 and (n_q & (n_q - 1)) == 0
         if plan_fast_pallas is not None and pow2:
             flags, pw, w0, w1, valid, bits = plan_fast_pallas(

@@ -60,3 +60,47 @@ def test_pack_matches_xla(codec, tail):
         w = (t1[s] + 1) // 2
         np.testing.assert_array_equal(o1[s, :w], o2[s, :w],
                                       err_msg=f"{codec} tail={tail} s={s}")
+
+
+@pytest.mark.parametrize("codec", ["chameleon", "cheetah", "lion"])
+@pytest.mark.parametrize("tail", [0, 1, 3, 555])
+def test_packroute_matches_assemble(codec, tail):
+    """The routing-network pack (kernels/packroute.py) must reproduce
+    the XLA assembly byte-for-byte, including ragged tails and the
+    multi-group word-base carry."""
+    import jax
+    from density_tpu.kernels import packroute
+    from density_tpu.engine.grouping import hash_quads
+    mod = importlib.import_module(f"density_tpu.codecs.{codec}")
+    spec_kw = dict(q=mod.Q, sig_words=mod.SIG_WORDS, block=mod.BLOCK,
+                   flag_bits={"chameleon": 1, "cheetah": 2,
+                              "lion": 3}[codec])
+    rng = np.random.default_rng(hash((codec, tail)) & 0xFFFF)
+    S, N = 2, 16384
+    vocab = rng.integers(1, 1 << 32, 61,
+                         dtype=np.uint64).astype(np.uint32)
+    quads = jnp.asarray(vocab[rng.integers(0, 61, (S, N))])
+    nbytes = jnp.asarray(np.array([N * 4, N * 4 - tail], np.int32))
+
+    def one(w, n):
+        h = hash_quads(w.astype(jnp.uint32))
+        real = jnp.arange(N, dtype=jnp.int32) < n // 4
+        p = mod.classify_fast(w.astype(jnp.uint32), h, real)
+        return p.flags, p.payload_words, p.w0, p.w1, p.valid
+
+    flags, pw, w0, w1, valid = jax.vmap(one)(quads, nbytes)
+    fq = jnp.minimum(nbytes // 4, N - 1)
+    rows = jnp.arange(S)
+    rq = quads[rows, fq].astype(jnp.uint32)
+    rg = nbytes % 4 > 0
+    w0 = w0.at[rows, fq].set(jnp.where(rg, rq & 0xFFFF, w0[rows, fq]))
+    w1 = w1.at[rows, fq].set(jnp.where(rg, rq >> 16, w1[rows, fq]))
+    got = packroute.pack(flags, pw, w0, w1, nbytes, interpret=True,
+                         **spec_kw)
+    want, totals = mod.PIPELINE.assemble_fast(quads, nbytes, flags, pw,
+                                              w0, w1, valid)
+    for s in range(S):
+        t = (int(np.asarray(totals)[s]) + 1) // 2
+        np.testing.assert_array_equal(
+            np.asarray(got[s, :t]), np.asarray(want[s, :t]),
+            err_msg=f"{codec} tail={tail} s={s}")
