@@ -123,10 +123,15 @@ def encode_stats(codec: str, data: bytes) -> StreamStats:
     hist = np.asarray(hist)
     n_blocks_real = -(-n // spec.block_size)
     n_copy = int(n_copy)
+    copy_np = np.asarray(copy[0])
+    # the ragged tail is a separate raw emission only when the final
+    # block is encoded; a final COPY block already contains its bytes
+    last_is_copy = bool(copy_np[n_blocks_real - 1]) if n_blocks_real \
+        else False
     comp = (int(pay_bytes) + (n_blocks_real - n_copy) * spec.sig_bytes
             + sum(min(spec.block_size, n - b * spec.block_size)
-                  for b in np.nonzero(np.asarray(copy[0]))[0])
-            + n % 4)
+                  for b in np.nonzero(copy_np)[0])
+            + (0 if last_is_copy else n % 4))
     return StreamStats(
         codec=codec,
         original_bytes=n,
