@@ -325,17 +325,25 @@ def main():
         enc_ref, dec_ref = REF_TP[codec]
         try:
             ref_ratio = n / len(native.encode(codec, data))
+            # warm pass: compiles + the round-trip assert + ratio
+            # (reference discipline: assert equality BEFORE timing,
+            # benches/density.rs:41-45)
+            blob = container.compress(data, codec,
+                                      stream_size=e2e_stream_for(codec))
+            dec = container.decompress(blob)
+            assert dec == data, f"{codec} round-trip failed"
+            r["ratio"] = n / len(blob)
+            r["ref_ratio_same_corpus"] = ref_ratio
+            r["ratio_vs_ref"] = r["ratio"] / ref_ratio
+            _emit()
+            # timed pass, warm
             t_enc = time.perf_counter()
             blob = container.compress(data, codec,
                                       stream_size=e2e_stream_for(codec))
             t_enc = time.perf_counter() - t_enc
             t_dec = time.perf_counter()
-            dec = container.decompress(blob)
+            container.decompress(blob)
             t_dec = time.perf_counter() - t_dec
-            assert dec == data, f"{codec} round-trip failed"
-            r["ratio"] = n / len(blob)
-            r["ref_ratio_same_corpus"] = ref_ratio
-            r["ratio_vs_ref"] = r["ratio"] / ref_ratio
             r["encode_gbps"] = gb / t_enc
             r["decode_gbps"] = gb / t_dec
             r["enc_vs_ref"] = (gb / t_enc) / enc_ref
