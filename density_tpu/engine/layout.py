@@ -39,6 +39,14 @@ from density_tpu.engine.protection import replay_fsm
 
 MAX_FIXED_POINT_ITERS = 8
 
+# Assembly-kernel escape hatch, captured ONCE at import: the choice is
+# baked into every jitted encode variant (it is part of the traced
+# graph), so flipping the env var later would silently not apply to
+# already-cached shapes -- capturing here makes the contract explicit:
+# set DENSITY_TPU_PACK=onehot before importing density_tpu to compare
+# the r3 one-hot/MXU pack kernel against the routing pack.
+_PACK_MODE = os.environ.get("DENSITY_TPU_PACK", "route")
+
 
 @dataclasses.dataclass
 class TokenPlan:
@@ -229,12 +237,10 @@ def build_pipeline(*, Q: int, SIG_WORDS: int, BLOCK: int,
         kernel as default in r4: 15.2 ms -> ~3 ms for 10 MB on v5e.
         DENSITY_TPU_PACK=onehot selects the old kernel for comparison.
         """
-        import os as _os
         from density_tpu.kernels import pack as _packold
         from density_tpu.kernels import packroute as _packroute
         n_q = quads.shape[1]
-        use_route = (_os.environ.get("DENSITY_TPU_PACK", "route")
-                     == "route" and n_q % 16384 == 0)
+        use_route = _PACK_MODE == "route" and n_q % 16384 == 0
         packmod = _packroute if use_route else _packold
         pow2 = n_q >= 256 and (n_q & (n_q - 1)) == 0
         if plan_fast_pallas is not None and pow2:
@@ -372,13 +378,19 @@ def _assemble_masked(pipe, quads, nbytes, copy, flags, pw, w0, w1, valid):
     without the persistent compile cache). The copy path is rare --
     only streams whose blowup FSM armed copy blocks reach it -- so the
     extra dispatches are noise; regression pinned in
-    tests/test_tpu_smoke.py."""
+    tests/test_tpu_smoke.py.
+
+    Chunking applies only to single-device arrays: on a stream-sharded
+    mesh the quads[lo:hi] slices would cut across shard boundaries and
+    force resharding + per-chunk-shape recompiles, and each shard's
+    local batch is at most S/n_dev anyway."""
     try:
-        plat = next(iter(quads.devices())).platform
+        devs = quads.devices()
+        plat = next(iter(devs)).platform
     except Exception:  # noqa: BLE001
-        plat = ""
+        devs, plat = (), ""
     S = quads.shape[0]
-    if plat not in ("tpu", "axon") or S <= 8:
+    if plat not in ("tpu", "axon") or S <= 8 or len(devs) > 1:
         return pipe.assemble(quads, nbytes, copy, flags, pw, w0, w1,
                              valid)
     outs, tots = [], []

@@ -36,10 +36,18 @@ inline uint16_t hash16(uint32_t quad) {
   return static_cast<uint16_t>((quad * kHashMul) >> (32 - kHashBits));
 }
 
+// The wire format is explicitly little-endian; this runtime relies on
+// host-LE memcpy loads/stores. Refuse to build elsewhere (the
+// reference proves BE portability with byte-shuffling loads; here the
+// guard keeps silent corruption impossible on s390x-style hosts).
+#if defined(__BYTE_ORDER__) && (__BYTE_ORDER__ != __ORDER_LITTLE_ENDIAN__)
+#error "libdensity.cpp assumes a little-endian host"
+#endif
+
 inline uint32_t load_u32le(const uint8_t* p) {
   uint32_t v;
   std::memcpy(&v, p, 4);
-  return v;  // little-endian hosts only (x86/arm)
+  return v;
 }
 inline uint16_t load_u16le(const uint8_t* p) {
   uint16_t v;
@@ -89,6 +97,10 @@ struct Chameleon {
   void reset() { std::fill(dict.begin(), dict.end(), 0); }
   size_t encode(const uint8_t* in, size_t in_size, uint8_t* out, size_t out_cap);
   size_t decode(const uint8_t* in, size_t in_size, uint8_t* out, size_t out_cap);
+  inline uint32_t step_flag(uint64_t flag, const uint8_t* in, size_t& ip);
+  size_t decode_tail(const uint8_t* in, size_t in_size, size_t& ip,
+                     uint8_t* out, size_t out_cap, size_t op,
+                     Protection& prot);
   // Streaming variants: dictionary state lives in the struct (instance
   // reuse, reference codec.rs:16); the protection FSM is caller-owned
   // so it survives across chunks. decode_p consumes only provably
@@ -161,21 +173,26 @@ size_t Chameleon::encode_p(const uint8_t* in, size_t in_size, uint8_t* out,
   return op;
 }
 
-size_t Chameleon::decode_p(const uint8_t* in, size_t in_size, uint8_t* out,
-                           size_t out_cap, Protection& prot,
-                           bool final_chunk, size_t* consumed) {
-  size_t ip = 0, op = 0;
-  auto plain = [&](size_t& ip) {
+// One token of the chameleon decode chain (reference: chameleon.rs:105-135).
+inline uint32_t Chameleon::step_flag(uint64_t flag, const uint8_t* in,
+                                     size_t& ip) {
+  if (flag == 0) {
     uint32_t quad = load_u32le(in + ip);
     ip += 4;
     dict[hash16(quad)] = quad;
     return quad;
-  };
-  auto mapped = [&](size_t& ip) {
-    uint16_t h = load_u16le(in + ip);
-    ip += 2;
-    return dict[h];
-  };
+  }
+  uint16_t h = load_u16le(in + ip);
+  ip += 2;
+  return dict[h];
+}
+
+size_t Chameleon::decode_p(const uint8_t* in, size_t in_size, uint8_t* out,
+                           size_t out_cap, Protection& prot,
+                           bool final_chunk, size_t* consumed) {
+  size_t ip = 0, op = 0;
+  auto plain = [&](size_t& ip) { return step_flag(0, in, ip); };
+  auto mapped = [&](size_t& ip) { return step_flag(1, in, ip); };
   while (in_size - ip >= kSigBytes + kBlock) {
     if (prot.revert_to_copy()) {
       if (op + kBlock > out_cap) return 0;
@@ -200,27 +217,37 @@ size_t Chameleon::decode_p(const uint8_t* in, size_t in_size, uint8_t* out,
   }
   *consumed = ip;
   if (!final_chunk) return op;  // tail only at end-of-stream
-  // Tail
+  size_t r = decode_tail(in, in_size, ip, out, out_cap, op, prot);
+  if (r == static_cast<size_t>(-1)) return 0;
+  *consumed = ip;
+  return r;
+}
+
+// End-of-stream tail (reference codec.rs:98-126; strict
+// `remaining > block_size` copy rule at codec.rs:104-110). Returns the
+// final output size, or (size_t)-1 on output overflow.
+size_t Chameleon::decode_tail(const uint8_t* in, size_t in_size,
+                              size_t& ip, uint8_t* out, size_t out_cap,
+                              size_t op, Protection& prot) {
+  constexpr size_t kFail = static_cast<size_t>(-1);
   while (in_size - ip > 0) {
     if (prot.revert_to_copy()) {
       size_t rem = in_size - ip;
-      // reference codec.rs:104-110: strict `remaining > block_size`
       if (rem > kBlock) {
-        if (op + kBlock > out_cap) return 0;
+        if (op + kBlock > out_cap) return kFail;
         std::memcpy(out + op, in + ip, kBlock);
         ip += kBlock;
         op += kBlock;
         prot.decay();
         continue;
       }
-      if (op + rem > out_cap) return 0;
+      if (op + rem > out_cap) return kFail;
       std::memcpy(out + op, in + ip, rem);
       ip += rem;
-      *consumed = ip;
       return op + rem;
     }
     size_t mark = ip;
-    if (in_size - ip < kSigBytes) { *consumed = ip; return op; }  // malformed; stop safely
+    if (in_size - ip < kSigBytes) return op;  // malformed; stop safely
     uint64_t sig;
     std::memcpy(&sig, in + ip, 8);
     ip += 8;
@@ -229,25 +256,21 @@ size_t Chameleon::decode_p(const uint8_t* in, size_t in_size, uint8_t* out,
       sig >>= 1;
       if (flag == 0) {
         size_t rem = in_size - ip;
-        if (rem == 0) { *consumed = ip; return op; }
+        if (rem == 0) return op;
         if (rem <= 3) {
-          if (op + rem > out_cap) return 0;
+          if (op + rem > out_cap) return kFail;
           std::memcpy(out + op, in + ip, rem);
           ip += rem;
-          *consumed = ip;
           return op + rem;
         }
-        if (op + 4 > out_cap) return 0;
-        store_u32le(out + op, plain(ip));
-      } else {
-        if (op + 4 > out_cap) return 0;
-        store_u32le(out + op, mapped(ip));
       }
+      if (op + 4 > out_cap) return kFail;
+      uint32_t quad = step_flag(flag, in, ip);
+      store_u32le(out + op, quad);
       op += 4;
     }
     prot.update(ip - mark >= kBlock);
   }
-  *consumed = ip;
   return op;
 }
 
@@ -259,16 +282,20 @@ size_t Chameleon::decode_p(const uint8_t* in, size_t in_size, uint8_t* out,
 struct Cheetah {
   static constexpr size_t kBlock = 128;
   static constexpr size_t kSigBytes = 8;
-  std::vector<uint32_t> chunk_a, chunk_b, pred;
+  // chunk_a/chunk_b interleaved per hash: one cache line serves both
+  // slots (mirrors the reference's ChunkData layout, cheetah.rs:36-39;
+  // split arrays cost a second miss on every dictionary access).
+  struct Chunk {
+    uint32_t a, b;
+  };
+  std::vector<Chunk> chunk;
+  std::vector<uint32_t> pred;
   uint16_t last_hash = 0;
   Cheetah()
-      : chunk_a(1u << kHashBits, 0),
-        chunk_b(1u << kHashBits, 0),
-        pred(1u << kHashBits, 0) {}
+      : chunk(1u << kHashBits, Chunk{0, 0}), pred(1u << kHashBits, 0) {}
 
   void reset() {
-    std::fill(chunk_a.begin(), chunk_a.end(), 0);
-    std::fill(chunk_b.begin(), chunk_b.end(), 0);
+    std::fill(chunk.begin(), chunk.end(), Chunk{0, 0});
     std::fill(pred.begin(), pred.end(), 0);
     last_hash = 0;
   }
@@ -279,6 +306,10 @@ struct Cheetah {
   size_t decode_p(const uint8_t* in, size_t in_size, uint8_t* out,
                   size_t out_cap, Protection& prot, bool final_chunk,
                   size_t* consumed);
+  inline uint32_t step_flag(uint64_t flag, const uint8_t* in, size_t& ip);
+  size_t decode_tail(const uint8_t* in, size_t in_size, size_t& ip,
+                     uint8_t* out, size_t out_cap, size_t op,
+                     Protection& prot);
 };
 
 size_t Cheetah::encode(const uint8_t* in, size_t in_size, uint8_t* out,
@@ -319,10 +350,9 @@ size_t Cheetah::encode_p(const uint8_t* in, size_t in_size, uint8_t* out,
       uint16_t h = hash16(quad);
       uint32_t& p = pred[last_hash];
       if (p != quad) {
-        uint32_t& a = chunk_a[h];
-        if (a != quad) {
-          uint32_t& b = chunk_b[h];
-          if (b != quad) {
+        Chunk& c = chunk[h];
+        if (c.a != quad) {
+          if (c.b != quad) {
             // plain flag = 0
             store_u32le(out + op, quad);
             op += 4;
@@ -331,8 +361,8 @@ size_t Cheetah::encode_p(const uint8_t* in, size_t in_size, uint8_t* out,
             store_u16le(out + op, h);
             op += 2;
           }
-          b = a;
-          a = quad;
+          c.b = c.a;
+          c.a = quad;
         } else {
           sig |= 1ull << shift;  // map A
           store_u16le(out + op, h);
@@ -356,47 +386,55 @@ size_t Cheetah::encode_p(const uint8_t* in, size_t in_size, uint8_t* out,
   return op;
 }
 
+// One token of the cheetah decode chain (reference: cheetah.rs:68-105).
+inline uint32_t Cheetah::step_flag(uint64_t flag, const uint8_t* in,
+                                   size_t& ip) {
+  uint32_t quad;
+  uint16_t h;
+  switch (flag) {
+    case 0: {
+      quad = load_u32le(in + ip);
+      ip += 4;
+      h = hash16(quad);
+      Chunk& c = chunk[h];
+      c.b = c.a;
+      c.a = quad;
+      pred[last_hash] = quad;
+      break;
+    }
+    case 1: {
+      h = load_u16le(in + ip);
+      ip += 2;
+      quad = chunk[h].a;
+      pred[last_hash] = quad;
+      break;
+    }
+    case 2: {
+      h = load_u16le(in + ip);
+      ip += 2;
+      Chunk& c = chunk[h];
+      quad = c.b;
+      c.b = c.a;
+      c.a = quad;
+      pred[last_hash] = quad;
+      break;
+    }
+    default: {
+      quad = pred[last_hash];
+      h = hash16(quad);
+      break;
+    }
+  }
+  last_hash = h;
+  return quad;
+}
+
 size_t Cheetah::decode_p(const uint8_t* in, size_t in_size, uint8_t* out,
                          size_t out_cap, Protection& prot,
                          bool final_chunk, size_t* consumed) {
   size_t ip = 0, op = 0;
   auto step = [&](uint64_t flag, size_t& ip) -> uint32_t {
-    uint32_t quad;
-    uint16_t h;
-    switch (flag) {
-      case 0: {
-        quad = load_u32le(in + ip);
-        ip += 4;
-        h = hash16(quad);
-        chunk_b[h] = chunk_a[h];
-        chunk_a[h] = quad;
-        pred[last_hash] = quad;
-        break;
-      }
-      case 1: {
-        h = load_u16le(in + ip);
-        ip += 2;
-        quad = chunk_a[h];
-        pred[last_hash] = quad;
-        break;
-      }
-      case 2: {
-        h = load_u16le(in + ip);
-        ip += 2;
-        quad = chunk_b[h];
-        chunk_b[h] = chunk_a[h];
-        chunk_a[h] = quad;
-        pred[last_hash] = quad;
-        break;
-      }
-      default: {
-        quad = pred[last_hash];
-        h = hash16(quad);
-        break;
-      }
-    }
-    last_hash = h;
-    return quad;
+    return step_flag(flag, in, ip);
   };
   while (in_size - ip >= kSigBytes + kBlock) {
     if (prot.revert_to_copy()) {
@@ -422,25 +460,37 @@ size_t Cheetah::decode_p(const uint8_t* in, size_t in_size, uint8_t* out,
   }
   *consumed = ip;
   if (!final_chunk) return op;  // tail only at end-of-stream
+  size_t r = decode_tail(in, in_size, ip, out, out_cap, op, prot);
+  if (r == static_cast<size_t>(-1)) return 0;
+  *consumed = ip;
+  return r;
+}
+
+// End-of-stream tail: the final (< sig + block) span, where the input
+// may run out mid-block (reference codec.rs:98-126). Returns the final
+// output size, or (size_t)-1 on output overflow.
+size_t Cheetah::decode_tail(const uint8_t* in, size_t in_size, size_t& ip,
+                            uint8_t* out, size_t out_cap, size_t op,
+                            Protection& prot) {
+  constexpr size_t kFail = static_cast<size_t>(-1);
   while (in_size - ip > 0) {
     if (prot.revert_to_copy()) {
       size_t rem = in_size - ip;
       if (rem > kBlock) {
-        if (op + kBlock > out_cap) return 0;
+        if (op + kBlock > out_cap) return kFail;
         std::memcpy(out + op, in + ip, kBlock);
         ip += kBlock;
         op += kBlock;
         prot.decay();
         continue;
       }
-      if (op + rem > out_cap) return 0;
+      if (op + rem > out_cap) return kFail;
       std::memcpy(out + op, in + ip, rem);
       ip += rem;
-      *consumed = ip;
       return op + rem;
     }
     size_t mark = ip;
-    if (in_size - ip < kSigBytes) { *consumed = ip; return op; }
+    if (in_size - ip < kSigBytes) return op;  // malformed; stop safely
     uint64_t sig;
     std::memcpy(&sig, in + ip, 8);
     ip += 8;
@@ -449,23 +499,21 @@ size_t Cheetah::decode_p(const uint8_t* in, size_t in_size, uint8_t* out,
       sig >>= 2;
       if (flag == 0) {
         size_t rem = in_size - ip;
-        if (rem == 0) { *consumed = ip; return op; }
+        if (rem == 0) return op;
         if (rem <= 3) {
-          if (op + rem > out_cap) return 0;
+          if (op + rem > out_cap) return kFail;
           std::memcpy(out + op, in + ip, rem);
           ip += rem;
-          *consumed = ip;
           return op + rem;
         }
       }
-      if (op + 4 > out_cap) return 0;
-      uint32_t quad = step(flag, ip);
+      if (op + 4 > out_cap) return kFail;
+      uint32_t quad = step_flag(flag, in, ip);
       store_u32le(out + op, quad);
       op += 4;
     }
     prot.update(ip - mark >= kBlock);
   }
-  *consumed = ip;
   return op;
 }
 
@@ -480,12 +528,16 @@ struct Lion {
   struct Pred {
     uint32_t a, b, c, d, e;
   };
-  std::vector<uint32_t> chunk_a, chunk_b;
+  // interleaved dual dictionary (one cache line per hash; mirrors the
+  // reference's ChunkData layout, lion.rs:36-39)
+  struct Chunk {
+    uint32_t a, b;
+  };
+  std::vector<Chunk> chunk;
   std::vector<Pred> pred;
   uint16_t last_hash = 0;
   Lion()
-      : chunk_a(1u << kHashBits, 0),
-        chunk_b(1u << kHashBits, 0),
+      : chunk(1u << kHashBits, Chunk{0, 0}),
         pred(1u << kHashBits, Pred{0, 0, 0, 0, 0}) {}
 
   static void shift5(Pred& p, uint32_t quad) {
@@ -497,8 +549,7 @@ struct Lion {
   }
 
   void reset() {
-    std::fill(chunk_a.begin(), chunk_a.end(), 0);
-    std::fill(chunk_b.begin(), chunk_b.end(), 0);
+    std::fill(chunk.begin(), chunk.end(), Chunk{0, 0});
     std::fill(pred.begin(), pred.end(), Pred{0, 0, 0, 0, 0});
     last_hash = 0;
   }
@@ -509,7 +560,30 @@ struct Lion {
   size_t decode_p(const uint8_t* in, size_t in_size, uint8_t* out,
                   size_t out_cap, Protection& prot, bool final_chunk,
                   size_t* consumed);
+  inline uint32_t step_flag(uint64_t flag, const uint8_t* in, size_t& ip);
+  size_t decode_tail(const uint8_t* in, size_t in_size, size_t& ip,
+                     uint8_t* out, size_t out_cap, size_t op,
+                     Protection& prot);
 };
+
+// 6-byte signature read (reference: lion.rs:339-351): an 8-byte load
+// masked to 48 bits when enough input remains, else a padded copy.
+inline uint64_t lion_read_sig(const uint8_t* in, size_t in_size,
+                              size_t& ip) {
+  if (in_size - ip <= 7) {
+    uint8_t sb[8] = {0};
+    size_t n = in_size - ip < 6 ? in_size - ip : 6;
+    std::memcpy(sb, in + ip, n);
+    ip += 6;
+    uint64_t v;
+    std::memcpy(&v, sb, 8);
+    return v;
+  }
+  uint64_t v;
+  std::memcpy(&v, in + ip, 8);
+  ip += 6;
+  return v & 0x0000FFFFFFFFFFFFull;
+}
 
 size_t Lion::encode(const uint8_t* in, size_t in_size, uint8_t* out,
                     size_t out_cap) {
@@ -568,25 +642,28 @@ size_t Lion::encode_p(const uint8_t* in, size_t in_size, uint8_t* out,
       } else if (p.e == quad) {
         sig |= 5ull << shift;
         shift5(p, quad);
-      } else if (chunk_a[h] == quad) {
-        sig |= 6ull << shift;  // map A
-        store_u16le(out + op, h);
-        op += 2;
-        shift5(p, quad);
-      } else if (chunk_b[h] == quad) {
-        sig |= 7ull << shift;  // map B
-        store_u16le(out + op, h);
-        op += 2;
-        chunk_b[h] = chunk_a[h];
-        chunk_a[h] = quad;
-        shift5(p, quad);
       } else {
-        // plain flag = 0
-        store_u32le(out + op, quad);
-        op += 4;
-        chunk_b[h] = chunk_a[h];
-        chunk_a[h] = quad;
-        shift5(p, quad);
+        Chunk& c = chunk[h];
+        if (c.a == quad) {
+          sig |= 6ull << shift;  // map A
+          store_u16le(out + op, h);
+          op += 2;
+          shift5(p, quad);
+        } else if (c.b == quad) {
+          sig |= 7ull << shift;  // map B
+          store_u16le(out + op, h);
+          op += 2;
+          c.b = c.a;
+          c.a = quad;
+          shift5(p, quad);
+        } else {
+          // plain flag = 0
+          store_u32le(out + op, quad);
+          op += 4;
+          c.b = c.a;
+          c.a = quad;
+          shift5(p, quad);
+        }
       }
       shift += 3;
       last_hash = h;
@@ -605,94 +682,89 @@ size_t Lion::encode_p(const uint8_t* in, size_t in_size, uint8_t* out,
   return op;
 }
 
+// One token of the lion decode chain (reference: lion.rs:88-186).
+inline uint32_t Lion::step_flag(uint64_t flag, const uint8_t* in,
+                                size_t& ip) {
+  uint32_t quad;
+  uint16_t h;
+  Pred& p = pred[last_hash];
+  switch (flag) {
+    case 0: {
+      quad = load_u32le(in + ip);
+      ip += 4;
+      h = hash16(quad);
+      Chunk& c = chunk[h];
+      c.b = c.a;
+      c.a = quad;
+      shift5(p, quad);
+      break;
+    }
+    case 6: {
+      h = load_u16le(in + ip);
+      ip += 2;
+      quad = chunk[h].a;
+      shift5(p, quad);
+      break;
+    }
+    case 7: {
+      h = load_u16le(in + ip);
+      ip += 2;
+      Chunk& c = chunk[h];
+      quad = c.b;
+      c.b = c.a;
+      c.a = quad;
+      shift5(p, quad);
+      break;
+    }
+    case 1: {
+      quad = p.a;
+      h = hash16(quad);
+      break;
+    }
+    case 2: {
+      quad = p.b;
+      h = hash16(quad);
+      p.b = p.a;
+      p.a = quad;
+      break;
+    }
+    case 3: {
+      quad = p.c;
+      h = hash16(quad);
+      p.c = p.b;
+      p.b = p.a;
+      p.a = quad;
+      break;
+    }
+    case 4: {
+      quad = p.d;
+      h = hash16(quad);
+      p.d = p.c;
+      p.c = p.b;
+      p.b = p.a;
+      p.a = quad;
+      break;
+    }
+    default: {
+      quad = p.e;
+      h = hash16(quad);
+      shift5(p, quad);
+      break;
+    }
+  }
+  last_hash = h;
+  return quad;
+}
+
 size_t Lion::decode_p(const uint8_t* in, size_t in_size, uint8_t* out,
                       size_t out_cap, Protection& prot,
                       bool final_chunk, size_t* consumed) {
   size_t ip = 0, op = 0;
   auto read_sig = [&](size_t& ip) -> uint64_t {
-    // reference: lion.rs:339-351
-    if (in_size - ip <= 7) {
-      uint8_t sb[8] = {0};
-      size_t n = in_size - ip < 6 ? in_size - ip : 6;
-      std::memcpy(sb, in + ip, n);
-      ip += 6;
-      uint64_t v;
-      std::memcpy(&v, sb, 8);
-      return v;
-    }
-    uint64_t v;
-    std::memcpy(&v, in + ip, 8);
-    ip += 6;
-    return v & 0x0000FFFFFFFFFFFFull;
+    return lion_read_sig(in, in_size, ip);
   };
   auto step = [&](uint64_t flag, size_t& ip) -> uint32_t {
-    uint32_t quad;
-    uint16_t h;
-    Pred& p = pred[last_hash];
-    switch (flag) {
-      case 0: {
-        quad = load_u32le(in + ip);
-        ip += 4;
-        h = hash16(quad);
-        chunk_b[h] = chunk_a[h];
-        chunk_a[h] = quad;
-        shift5(p, quad);
-        break;
-      }
-      case 6: {
-        h = load_u16le(in + ip);
-        ip += 2;
-        quad = chunk_a[h];
-        shift5(p, quad);
-        break;
-      }
-      case 7: {
-        h = load_u16le(in + ip);
-        ip += 2;
-        quad = chunk_b[h];
-        chunk_b[h] = chunk_a[h];
-        chunk_a[h] = quad;
-        shift5(p, quad);
-        break;
-      }
-      case 1: {
-        quad = p.a;
-        h = hash16(quad);
-        break;
-      }
-      case 2: {
-        quad = p.b;
-        h = hash16(quad);
-        p.b = p.a;
-        p.a = quad;
-        break;
-      }
-      case 3: {
-        quad = p.c;
-        h = hash16(quad);
-        p.c = p.b;
-        p.b = p.a;
-        p.a = quad;
-        break;
-      }
-      case 4: {
-        quad = p.d;
-        h = hash16(quad);
-        p.d = p.c;
-        p.c = p.b;
-        p.b = p.a;
-        p.a = quad;
-        break;
-      }
-      default: {
-        quad = p.e;
-        h = hash16(quad);
-        shift5(p, quad);
-        break;
-      }
-    }
-    last_hash = h;
-    return quad;
+    return step_flag(flag, in, ip);
   };
   while (in_size - ip >= kSigBytes + kBlock) {
     if (prot.revert_to_copy()) {
@@ -716,48 +788,57 @@ size_t Lion::decode_p(const uint8_t* in, size_t in_size, uint8_t* out,
   }
   *consumed = ip;
   if (!final_chunk) return op;  // tail only at end-of-stream
+  size_t r = decode_tail(in, in_size, ip, out, out_cap, op, prot);
+  if (r == static_cast<size_t>(-1)) return 0;
+  *consumed = ip;
+  return r;
+}
+
+// End-of-stream tail (mirrors Cheetah::decode_tail; 3-bit flags,
+// 16-quad blocks). Returns final output size or (size_t)-1 on overflow.
+size_t Lion::decode_tail(const uint8_t* in, size_t in_size, size_t& ip,
+                         uint8_t* out, size_t out_cap, size_t op,
+                         Protection& prot) {
+  constexpr size_t kFail = static_cast<size_t>(-1);
   while (in_size - ip > 0) {
     if (prot.revert_to_copy()) {
       size_t rem = in_size - ip;
       if (rem > kBlock) {
-        if (op + kBlock > out_cap) return 0;
+        if (op + kBlock > out_cap) return kFail;
         std::memcpy(out + op, in + ip, kBlock);
         ip += kBlock;
         op += kBlock;
         prot.decay();
         continue;
       }
-      if (op + rem > out_cap) return 0;
+      if (op + rem > out_cap) return kFail;
       std::memcpy(out + op, in + ip, rem);
       ip += rem;
-      *consumed = ip;
       return op + rem;
     }
     size_t mark = ip;
-    if (in_size - ip < kSigBytes) { *consumed = ip; return op; }
-    uint64_t sig = read_sig(ip);
+    if (in_size - ip < kSigBytes) return op;  // malformed; stop safely
+    uint64_t sig = lion_read_sig(in, in_size, ip);
     for (int u = 0; u < 16; u++) {
       uint64_t flag = sig & 7;
       sig >>= 3;
       if (flag == 0) {
         size_t rem = in_size - ip;
-        if (rem == 0) { *consumed = ip; return op; }
+        if (rem == 0) return op;
         if (rem <= 3) {
-          if (op + rem > out_cap) return 0;
+          if (op + rem > out_cap) return kFail;
           std::memcpy(out + op, in + ip, rem);
           ip += rem;
-          *consumed = ip;
           return op + rem;
         }
       }
-      if (op + 4 > out_cap) return 0;
-      uint32_t quad = step(flag, ip);
+      if (op + 4 > out_cap) return kFail;
+      uint32_t quad = step_flag(flag, in, ip);
       store_u32le(out + op, quad);
       op += 4;
     }
     prot.update(ip - mark >= kBlock);
   }
-  *consumed = ip;
   return op;
 }
 
