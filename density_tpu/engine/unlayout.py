@@ -33,23 +33,6 @@ def _shift1(x, fill):
     return jnp.concatenate([pad, x[:, :-1]], axis=1)
 
 
-def seg_fill_last(first, vals, active):
-    """Batched inclusive segmented fill along axis=1: value of the
-    latest ACTIVE position <= t within t's segment (0 if none)."""
-    val0 = jnp.where(active, vals, 0)
-
-    def combine(a, b):
-        va, ha, sa = a
-        vb, hb, sb = b
-        v = jnp.where(sb, vb, jnp.where(hb, vb, va))
-        h = jnp.where(sb, hb, ha | hb)
-        return v, h, sa | sb
-
-    vi, hi, _ = jax.lax.associative_scan(
-        combine, (val0, active, first), axis=1)
-    return vi
-
-
 def extract_tokens_xla(words, woff, Q, SIG_WORDS, flag_bits):
     """XLA fallback extraction: flags + payload halfwords per quad.
 
@@ -134,53 +117,26 @@ def quad_from_cmp16(h, c16):
     return qlow | ((c16 & 0x8000).astype(jnp.uint32) << 16)
 
 
-def _chunked_fill_max(x, first, chunk):
-    """Inclusive segmented max along axis=1 (segments at `first`), in
-    fixed `chunk`-sized pieces with a cross-chunk carry sweep: keeps
-    the scan operands in 32 bits (position-in-chunk rides the packed
-    value) and the associative_scan windows short.  x: (S, N) uint32
-    with 0 = 'nothing'."""
-    S, N = x.shape
-    nch = N // chunk
-    pos = (jnp.arange(N, dtype=jnp.int32)[None, :] % chunk)
-    firstl = first | (pos == 0)
-    x3 = x.reshape(S, nch, chunk)
-    f3 = firstl.reshape(S, nch, chunk)
+def _seg_fill_last_nonzero(x, first):
+    """Batched (axis=1) segmented INCLUSIVE fill of the latest nonzero
+    value (0 = 'nothing yet'), segments delimited by `first`.
+
+    Dense Hillis-Steele doubling on a 2-operand monoid -- replaces the
+    r3 chunked `associative_scan` max-fill, which cost 9.4 ms for 10 MB
+    on v5e (more than either sort of the resolve; XLA's odd-even
+    recursion materializes every window through HBM). log2(n) shifted
+    combines, ~1 ms at the same shape."""
+    from density_tpu.engine.grouping import monoid_scan
 
     def combine(a, b):
         va, fa = a
         vb, fb = b
-        return jnp.where(fb, vb, jnp.maximum(va, vb)), fa | fb
+        v = jnp.where(fb, vb, jnp.where(vb != 0, vb, va))
+        return v, fa | fb
 
-    scan, _ = jax.lax.associative_scan(combine, (x3, f3), axis=2)
-
-    if nch > 1:
-        # cross-chunk carries: chunk k's trailing-segment max feeds
-        # chunk k+1's leading run when the group continues across the
-        # boundary (global `first` False at the chunk start)
-        b3 = (first & (pos != 0)).reshape(S, nch, chunk)
-        has_bound = jnp.cumsum(b3, axis=2) > 0
-        in_first_run = ~has_bound
-        spans_whole = ~has_bound[:, :, -1]
-        last_val = scan[:, :, -1]
-        connect = ~first.reshape(S, nch, chunk)[:, :, 0]
-        # Packed positions are chunk-LOCAL, so values from different
-        # chunks must never meet in a max: a chunk's own (later) fill
-        # always beats the carry; the carry only covers positions with
-        # no in-chunk plain yet.
-        carry = jnp.zeros((S,), x.dtype)
-        carries = [carry]
-        for k in range(1, nch):
-            carry = jnp.where(
-                connect[:, k],
-                jnp.where(last_val[:, k - 1] != 0, last_val[:, k - 1],
-                          jnp.where(spans_whole[:, k - 1], carry, 0)),
-                0)
-            carries.append(carry)
-        call = jnp.stack(carries, axis=1)  # (S, nch)
-        scan = jnp.where(in_first_run & (scan == 0), call[:, :, None],
-                         scan)
-    return scan.reshape(S, N)
+    v, _ = monoid_scan(combine, (x, first), (jnp.uint32(0), False),
+                       axis=1)
+    return v
 
 
 def resolve_chameleon(is_map, is_plain, h, plain_quad, interpret=False):
@@ -191,9 +147,9 @@ def resolve_chameleon(is_map, is_plain, h, plain_quad, interpret=False):
     hash (zero if none -- the zero-initialized dictionary, reference
     chameleon.rs:56-68).  Sort operands are minimal: the forward sort
     carries TWO i32 arrays (hash+index | index+is_plain+fingerprint),
-    the fill is a chunked unsigned max-scan over packed
-    (position, fingerprint), and map values are reconstructed from
-    (hash, fingerprint) by modular inversion.
+    the fill is a dense doubling scan of the latest plain fingerprint,
+    and map values are reconstructed from (hash, fingerprint) by
+    modular inversion.
     """
     from density_tpu.kernels import bigsort
     S, N = is_map.shape
@@ -212,10 +168,12 @@ def resolve_chameleon(is_map, is_plain, h, plain_quad, interpret=False):
     isp = (k2u >> 16) & 1 == 1
     c16s = k2u & 0xFFFF
 
-    chunk = min(1 << 15, N)
-    pos = (jnp.arange(N, dtype=jnp.uint32)[None, :] % chunk)
-    x = jnp.where(isp, ((pos + 1) << 16) | c16s, 0)
-    fill = _chunked_fill_max(x, first, chunk)
+    # latest plain's fingerprint before/at each sorted position: the
+    # 'has' bit rides above the 16 fingerprint bits (plain entries are
+    # always nonzero); inclusive == exclusive for readers (a map is
+    # never a writer at its own position)
+    x = jnp.where(isp, jnp.uint32(1 << 16) | c16s, jnp.uint32(0))
+    fill = _seg_fill_last_nonzero(x, first)
     has = fill != 0
     q_rec = quad_from_cmp16(grp.astype(jnp.uint32), fill & 0xFFFF)
     resolved_s = jnp.where(has, q_rec, 0).astype(jnp.int32)
@@ -262,7 +220,9 @@ def decode_chameleon_batch(words, woff, is_copy, nb_real, out_len,
         flags, w0, w1 = extract_tokens_xla(words, woff, Q, SIG_WORDS, 1)
 
     blk_ok = (is_real_block & ~is_copy)
-    valid = real & jnp.take_along_axis(blk_ok, block_of, axis=1)
+    # dense per-block -> per-quad broadcast (block_of == kidx // Q);
+    # a take_along_axis gather here costs real time at (S, 2^18)
+    valid = real & jnp.repeat(blk_ok, Q, axis=1)
 
     is_map = (flags == 1) & valid
     is_plain = valid & ~is_map
@@ -278,8 +238,8 @@ def decode_chameleon_batch(words, woff, is_copy, nb_real, out_len,
         # ragged final quad of a trailing copy block is included (its
         # raw words are real data, host-side trimming cuts to out_len)
         real_pad = kidx < ((out_len[:, None] + 3) // 4)
-        in_copy = real_pad & jnp.take_along_axis(
-            is_copy & is_real_block, block_of, axis=1)
+        in_copy = real_pad & jnp.repeat(is_copy & is_real_block, Q,
+                                        axis=1)
         quads = jnp.where(in_copy, plain_quad, quads)
         valid = valid | in_copy
     lo = jnp.where(valid, quads & 0xFFFF, 0)

@@ -64,20 +64,6 @@ def _finish_schedule(n: int):
     return [(1 << j, FLAG_DIR) for j in reversed(range(n.bit_length() - 1))]
 
 
-def _group_schedule(schedule, tile_elems: int):
-    """Split a pass schedule into maximal runs executable on one
-    register-resident row tile (all XOR distances < tile_elems) and
-    interleaved whole-block 'big' passes."""
-    groups: list[tuple[str, list]] = []
-    for d, kb in schedule:
-        kind = "tile" if d < tile_elems else "big"
-        if groups and groups[-1][0] == kind:
-            groups[-1][1].append((d, kb))
-        else:
-            groups.append((kind, [(d, kb)]))
-    return groups
-
-
 def _cmp_take(arrs, parts, n_keys, sel_gt):
     """take-partner mask for a compare-exchange (i32 mask logic: Mosaic
     vector i1 support is partial on real TPU, see bitonic.py)."""
@@ -96,90 +82,48 @@ def _cmp_take(arrs, parts, n_keys, sel_gt):
     return (sel_gt * p_gt + (1 - sel_gt) * p_lt) == 1
 
 
-# Rows per register tile: a (TILE_ROWS, 128) i32 tile is 4 vregs per
-# array, so every pass with XOR distance < TILE_ROWS*128 runs on
-# register-resident values -- one VMEM read+write per RUN of such
-# passes instead of one per pass. For the 2^16 segment this cuts the
-# sort's VMEM traffic ~9x (136 passes -> 5 tile runs + 10 big passes).
-TILE_ROWS = 32
-
-
-def _cx_pass(arrs, n_keys, d, kb, R0, rows, riota, ciota, flag, grow):
-    """One compare-exchange pass on (rows, 128) values. `grow` is the
-    global row index array (row0 + riota) for direction bits above the
-    tile; `R0` bounds sublane rolls."""
-    if d < 128:
-        up = [pltpu.roll(x, 128 - d, axis=1) for x in arrs]
-        dn = [pltpu.roll(x, d, axis=1) for x in arrs]
-        low = ((ciota & d) == 0).astype(jnp.int32)
-    else:
-        dr = d // 128
-        up = [pltpu.roll(x, rows - dr, axis=0) for x in arrs]
-        dn = [pltpu.roll(x, dr, axis=0) for x in arrs]
-        low = ((riota & dr) == 0).astype(jnp.int32)
-    lowb = low == 1
-    parts = [jnp.where(lowb, u, v) for u, v in zip(up, dn)]
-
-    if kb == FLAG_DIR:
-        dirup = jnp.full((rows, 128), flag, jnp.int32)
-    elif kb < 128:
-        dirup = ((ciota & kb) == 0).astype(jnp.int32)
-    elif kb >= R0 * 128:
-        dirup = jnp.ones((rows, 128), jnp.int32)
-    else:
-        dirup = ((grow & (kb // 128)) == 0).astype(jnp.int32)
-    take = _cmp_take(arrs, parts, n_keys, dirup ^ low)
-    return [jnp.where(take, p, a) for a, p in zip(arrs, parts)]
-
-
 def _make_kernel(n_keys: int, n_vals: int, schedule, R: int):
-    """Grouped-pass kernel over one (R, 128) segment with a per-segment
-    direction flag in SMEM. Runs of passes with distance < TILE_ROWS*128
-    execute inside a fori_loop over register-resident row tiles; larger
-    distances run as whole-block VMEM passes."""
+    """Statically-unrolled pass kernel over one (R, 128) segment with a
+    per-segment direction flag in SMEM."""
     n_arr = n_keys + n_vals
-    W = min(TILE_ROWS, R)
-    groups = _group_schedule(schedule, W * 128)
 
     def kernel(flag_ref, *refs):
         in_refs = refs[:n_arr]
         out_refs = refs[n_arr:2 * n_arr]
         scr = [r.at[0] for r in out_refs]
+        for a in range(n_arr):
+            scr[a][...] = in_refs[a][0]
 
         g = pl.program_id(0)
         flag = flag_ref[g]  # 1 = ascending, 0 = descending
         riota = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
         ciota = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
-        riota_t = jax.lax.broadcasted_iota(jnp.int32, (W, 128), 0)
-        ciota_t = jax.lax.broadcasted_iota(jnp.int32, (W, 128), 1)
 
-        first = True  # scr not yet written: read from in_refs
-        for kind, passes in groups:
-            if kind == "big":
-                arrs = [in_refs[a][0] if first else scr[a][...]
-                        for a in range(n_arr)]
-                for d, kb in passes:
-                    arrs = _cx_pass(arrs, n_keys, d, kb, R, R, riota,
-                                    ciota, flag, riota)
-                for a in range(n_arr):
-                    scr[a][...] = arrs[a]
+        for d, kb in schedule:
+            arrs = [scr[a][...] for a in range(n_arr)]
+            if d < 128:
+                up = [pltpu.roll(x, 128 - d, axis=1) for x in arrs]
+                dn = [pltpu.roll(x, d, axis=1) for x in arrs]
+                low = ((ciota & d) == 0).astype(jnp.int32)
             else:
-                src = in_refs if first else out_refs
+                dr = d // 128
+                up = [pltpu.roll(x, R - dr, axis=0) for x in arrs]
+                dn = [pltpu.roll(x, dr, axis=0) for x in arrs]
+                low = ((riota & dr) == 0).astype(jnp.int32)
+            lowb = low == 1
+            parts = [jnp.where(lowb, u, v) for u, v in zip(up, dn)]
 
-                def body(t, carry, passes=passes, src=src):
-                    row0 = t * W
-                    tiles = [src[a][0, pl.ds(row0, W), :]
-                             for a in range(n_arr)]
-                    grow = row0 + riota_t
-                    for d, kb in passes:
-                        tiles = _cx_pass(tiles, n_keys, d, kb, R, W,
-                                         riota_t, ciota_t, flag, grow)
-                    for a in range(n_arr):
-                        scr[a][pl.ds(row0, W), :] = tiles[a]
-                    return carry
-
-                jax.lax.fori_loop(0, R // W, body, 0)
-            first = False
+            if kb == FLAG_DIR:
+                dirup = jnp.full((R, 128), flag, jnp.int32)
+            elif kb < 128:
+                dirup = ((ciota & kb) == 0).astype(jnp.int32)
+            elif kb == R * 128:
+                dirup = jnp.ones((R, 128), jnp.int32)
+            else:
+                dirup = ((riota & (kb // 128)) == 0).astype(jnp.int32)
+            take = _cmp_take(arrs, parts, n_keys, dirup ^ low)
+            for a in range(n_arr):
+                scr[a][...] = jnp.where(take, parts[a], arrs[a])
 
     return kernel
 

@@ -49,7 +49,13 @@ def _monotone_place(vals, dest, live, nwin):
     """Route vals[t] (flat (rows,128)) to strictly-increasing
     destinations dest[t] over live t: compact to the rank domain, then
     expand by dest(rank) - rank (nondecreasing). Returns the routed
-    window (zeros elsewhere)."""
+    window (zeros elsewhere).
+
+    An element whose routed displacement comes out negative is DROPPED
+    silently (`rankm & (e >= 0)`); that can only happen when the
+    destination-monotonicity invariant is violated upstream. Callers /
+    tests can verify the invariant explicitly with
+    `check_route_invariants` (host-level, no production cost)."""
     rows = vals.shape[0]
     flat = (jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0) * 128
             + jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1))
@@ -58,6 +64,44 @@ def _monotone_place(vals, dest, live, nwin):
     e = d_r - flat
     (v_w,), placed = _expand_right([v_r], e, rankm & (e >= 0), nwin - 1)
     return jnp.where(placed, v_w, 0)
+
+
+def check_route_invariants(flags, pw, nbytes, *, q, sig_words, block,
+                           flag_bits):
+    """Verify the pack kernel's routing preconditions on the host: per
+    (stream, group), token destinations must be strictly increasing
+    over live tokens and non-negative relative to the group base, and
+    signature destinations must interleave consistently. Returns True
+    when every element the kernel would route arrives (nothing would
+    be silently dropped by `_monotone_place`); use in tests / debug
+    runs -- the production kernel does not pay for this.
+    """
+    import numpy as np
+    S, N = pw.shape
+    nb = N // q
+    n_groups = N // GQ
+    nbg = GQ // q
+    pwn = np.asarray(pw)
+    nbn = np.asarray(nbytes)
+    pwb = pwn.reshape(S, nb, q)
+    blk_pay = pwb.sum(axis=2)
+    nbr = (nbn + block - 1) // block
+    bidx = np.arange(nb)[None, :]
+    real_blk = bidx < nbr[:, None]
+    blk_words = np.where(real_blk, blk_pay + sig_words, 0)
+    blk_off = np.cumsum(blk_words, axis=1) - blk_words
+    intra = np.cumsum(pwb, axis=2) - pwb
+    dest = (blk_off[:, :, None] + sig_words + intra).reshape(S, N)
+    gbase = blk_off[:, ::nbg]
+    dest = dest - np.repeat(gbase, GQ, axis=1)
+    live = pwn >= 1
+    ok = True
+    for s in range(S):
+        for g in range(n_groups):
+            d = dest[s, g * GQ:(g + 1) * GQ][live[s, g * GQ:(g + 1) * GQ]]
+            if d.size and (np.any(np.diff(d) <= 0) or d[0] < 0):
+                ok = False
+    return ok
 
 
 def _make_kernel(q, sig_words):

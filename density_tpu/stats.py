@@ -99,6 +99,7 @@ def encode_stats(codec: str, data: bytes) -> StreamStats:
     S, n_q = quads.shape
     nb = n_q // pipe.Q
     copy = jnp.zeros((S, nb), bool)
+    converged = False
     for it in range(layout.MAX_FIXED_POINT_ITERS):
         if it == 0 and pipe.plan_fast is not None:
             flags, pw, w0, w1, valid, bits = pipe.plan_fast(quads, nbytes)
@@ -107,8 +108,16 @@ def encode_stats(codec: str, data: bytes) -> StreamStats:
                                                        copy)
         new_copy = pipe.step_fsm(bits, nbytes)
         if not bool(jnp.any(new_copy != copy)):
+            converged = True
             break
         copy = new_copy
+    if not converged:
+        # pathological stream: the plan in hand was made under a stale
+        # copy hypothesis. encode() falls back to the native encoder
+        # here (layout.run_encode surfaces `converged`); report stats
+        # for the bytes that encode would actually produce.
+        from density_tpu import native
+        return stream_stats(codec, data, native.encode(codec, data))
 
     n_flags = 1 << spec.flag_bits
     copy_q = jnp.repeat(copy, pipe.Q, axis=1)

@@ -141,3 +141,31 @@ def test_encode_stats_device_matches_wire_walk():
         assert a.flag_histogram == b.flag_histogram
         assert (a.copy_blocks, a.n_blocks) == (b.copy_blocks, b.n_blocks)
         assert b.compressed_bytes == len(enc)
+
+
+def test_packroute_destination_invariants():
+    """The routing pack silently drops any element whose displacement
+    turns negative (kernels/packroute._monotone_place); that is only
+    possible if the destination-monotonicity invariant breaks
+    upstream. Pin the invariant explicitly on real planner output so a
+    future planner change that violates it fails loudly here instead
+    of emitting corrupt streams."""
+    import random
+    import numpy as np
+    import jax.numpy as jnp
+    from density_tpu.codecs import chameleon
+    from density_tpu.kernels import packroute
+
+    rng = random.Random(11)
+    n = 16384 * 4  # one stream, four kernel groups
+    text = (b"the quick brown fox jumps over the lazy dog " * 4000)
+    for data in (text[:n], rng.randbytes(n), b"\x00" * n):
+        buf = np.frombuffer(data, np.uint8)
+        quads = jnp.asarray(buf.view("<u4")[None, :])
+        nbytes = jnp.asarray(np.array([len(data)], np.int32))
+        flags, pw, w0, w1, valid, bits = chameleon.PIPELINE.plan_fast(
+            quads, nbytes)
+        assert packroute.check_route_invariants(
+            flags, pw, nbytes, q=chameleon.Q,
+            sig_words=chameleon.SIG_WORDS, block=chameleon.BLOCK,
+            flag_bits=1)

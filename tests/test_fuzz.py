@@ -113,6 +113,30 @@ def test_fuzz_jax_matches_native(codec):
 
 
 @pytest.mark.parametrize("codec", CODECS)
+@pytest.mark.slow
+def test_masked_assemble_suspect_batches_cpu(codec):
+    """CPU exactness of the masked (copy-path) assembly at the stream
+    batches where XLA:TPU miscompiled it for lion in r4 (S in 9..12;
+    see layout._assemble_masked and docs/xla_tpu_miscompile_repro.py).
+    On CPU the unchunked program is exact at every S -- this pins the
+    semantics the TPU chunking workaround must reproduce, for all
+    three codecs across the suspect range."""
+    import importlib
+    mod = importlib.import_module(f"density_tpu.codecs.{codec}")
+    rng = np.random.default_rng(7)
+    block = SPECS[codec].block_size
+    ss = 8 * block
+    for s in (9, 12, 15):
+        # incompressible random streams force copy blocks everywhere
+        data = rng.integers(0, 256, s * ss, dtype=np.uint8).tobytes()
+        blob = container.compress(data, codec, stream_size=ss)
+        _, _, _, lengths, off = container.parse_header(blob)
+        assert blob[off:off + int(lengths[0])] == native.encode(
+            codec, data[:ss]), (codec, s)
+        assert container.decompress(blob) == data, (codec, s)
+
+
+@pytest.mark.parametrize("codec", CODECS)
 def test_truncated_stream_raises(codec):
     data = b"a compressible message, " * 600
     blob = container.compress(data, codec, stream_size=1 << 14)

@@ -51,3 +51,27 @@ def test_masked_assemble_batch9_regression():
     assert blob[off:off + int(lengths[0])] == native.encode(
         "lion", data[:ss])
     assert container.decompress(blob) == data
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("codec", ["chameleon", "cheetah"])
+@pytest.mark.parametrize("s", [9, 12])
+def test_masked_assemble_suspect_batches(codec, s):
+    """Blast-radius pin for the r4 XLA:TPU miscompile: the workaround
+    (layout._assemble_masked chunking to <=8) applies to ALL codecs at
+    every TPU batch S>8, but the bug was only ever OBSERVED for lion at
+    S in 9..12 -- these cases pin the other two codecs at the suspect
+    batch sizes on real hardware. Incompressible random streams force
+    the FSM onto the copy path (the miscompiled program). A standalone
+    repro lives in docs/xla_tpu_miscompile_repro.py so the chunking can
+    be deleted once the stack fixes it."""
+    import numpy as np
+    from density_tpu import container, native
+    rng = np.random.default_rng(100 + s)
+    ss = 1 << 16
+    data = rng.integers(0, 256, s * ss, dtype=np.uint8).tobytes()
+    blob = container.compress(data, codec, stream_size=ss)
+    _, _, _, lengths, off = container.parse_header(blob)
+    assert blob[off:off + int(lengths[0])] == native.encode(
+        codec, data[:ss])
+    assert container.decompress(blob) == data

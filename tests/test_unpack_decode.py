@@ -131,24 +131,22 @@ def test_resolution_matches_oracle_on_two_streams():
         assert bytes(got) == d, f"stream {s}"
 
 
-def test_chunked_fill_max_brute_force():
-    """Cross-chunk carry semantics: a chunk's own fill beats the carry
-    (packed positions are chunk-local and must never meet in a max)."""
-    from density_tpu.engine.unlayout import _chunked_fill_max
+def test_seg_fill_last_nonzero_brute_force():
+    """The resolve's fill (latest plain fingerprint per hash group,
+    inclusive, zero-reset at segment starts) against a scalar walk."""
+    from density_tpu.engine.unlayout import _seg_fill_last_nonzero
     rng = np.random.default_rng(0)
     for trial in range(10):
-        S, N, chunk = 2, 2048, 256
+        S, N = 2, 2048
         grp = np.sort(rng.integers(0, 30, (S, N)), axis=1)
         isp = rng.random((S, N)) < rng.uniform(0.005, 0.9)
         c16 = rng.integers(0, 65536, (S, N))
-        pos = np.arange(N) % chunk
-        x = np.where(isp, ((pos + 1).astype(np.uint32) << 16) | c16,
-                     0).astype(np.uint32)
+        x = np.where(isp, (1 << 16) | c16, 0).astype(np.uint32)
         first = np.zeros((S, N), bool)
         first[:, 0] = True
         first[:, 1:] |= grp[:, 1:] != grp[:, :-1]
-        got = np.asarray(_chunked_fill_max(jnp.asarray(x),
-                                           jnp.asarray(first), chunk))
+        got = np.asarray(_seg_fill_last_nonzero(jnp.asarray(x),
+                                                jnp.asarray(first)))
         refv = np.zeros((S, N), np.uint32)
         refh = np.zeros((S, N), bool)
         for s in range(S):
