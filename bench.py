@@ -59,6 +59,16 @@ _N = 0
 REF_TP = {"chameleon": (2.156, 2.952), "cheetah": (1.191, 1.732),
           "lion": (0.7004, 1.076)}
 
+# Device-phase stream grain per codec (throughput/ratio knob, measured
+# r5 sweep -- docs/PLAN.md): 2^16-quad (256 KiB) streams keep every
+# sort single-segment with packed 1-key networks (1.3x encode over the
+# r4 1 MiB grain at a 5% device-grain ratio cost). The grain's own
+# ratio is reported as `device_ratio`; the library-default ratios
+# (1.000x the reference) are the phase-E `ratio` numbers.
+# BENCH_STREAM_SIZE overrides all three.
+DEVICE_STREAM_SIZES = {"chameleon": 1 << 18, "cheetah": 1 << 18,
+                       "lion": 1 << 18}
+
 
 def _emit():
     """Print the (current) headline JSON line on stdout, flushed."""
@@ -253,10 +263,14 @@ def main():
     _N = n
     gb = n / 1e9
 
-    # device metrics: 1 MiB streams (padding-free parallel grain, all
-    # kernels cached); e2e + ratio: the per-codec library default
-    # (ratio-oriented -- see container.DEFAULT_STREAM_SIZES)
-    stream_size = int(os.environ.get("BENCH_STREAM_SIZE", str(1 << 20)))
+    # device metrics: per-codec grain (DEVICE_STREAM_SIZES); e2e +
+    # ratio: the per-codec library default (ratio-oriented -- see
+    # container.DEFAULT_STREAM_SIZES)
+    env_ss = os.environ.get("BENCH_STREAM_SIZE")
+
+    def stream_size_for(codec):
+        return int(env_ss) if env_ss else DEVICE_STREAM_SIZES[codec]
+
     env_e2e = os.environ.get("BENCH_E2E_STREAM_SIZE")
 
     def e2e_stream_for(codec):
@@ -268,21 +282,22 @@ def main():
     codecs = ["lion", "cheetah", "chameleon"]
     dev_blobs = {}
 
+    # --- Phase D: device numbers for every codec before any e2e ------
     # Device phase uses whole streams only: the ragged final stream
     # would dispatch at its own bucketed capacity, costing one MORE
     # multi-minute compile per codec for a number the full streams
     # already give.
-    n_dev_bytes = max(stream_size, n // stream_size * stream_size)
-    data_dev = data[:n_dev_bytes]
-    gb_dev = len(data_dev) / 1e9
-
-    # --- Phase D: device numbers for every codec before any e2e ------
     for codec in codecs:
         if _left() < 45:
             print(f"[bench] {codec}: phase D skipped (budget)",
                   file=sys.stderr)
             continue
+        stream_size = stream_size_for(codec)
+        n_dev_bytes = max(stream_size, n // stream_size * stream_size)
+        data_dev = data[:n_dev_bytes]
+        gb_dev = len(data_dev) / 1e9
         r = RESULTS.setdefault(codec, {})
+        r["device_stream_kib"] = stream_size >> 10
         enc_ref, dec_ref = REF_TP[codec]
         try:
             t_dev = _device_encode_time(codec, data_dev, stream_size)
@@ -298,7 +313,8 @@ def main():
             blob = container.compress(data_dev, codec,
                                       stream_size=stream_size)
             dec = container.decompress(blob)
-            assert dec == data_dev, f"{codec} 1MiB round-trip failed"
+            assert dec == data_dev, f"{codec} device-grain round-trip failed"
+            r["device_ratio"] = len(data_dev) / len(blob)
             dev_blobs[codec] = blob
             if codec == "chameleon":
                 t_ddec = _device_decode_time(blob)
@@ -379,7 +395,8 @@ def main():
               f"ratio {n / len(nb):.3f}", file=sys.stderr)
 
     if profile and "chameleon" in dev_blobs and _left() > 60:
-        _profile("chameleon", data, stream_size, dev_blobs["chameleon"])
+        _profile("chameleon", data, stream_size_for("chameleon"),
+                 dev_blobs["chameleon"])
 
     _emit()
 

@@ -183,8 +183,21 @@ def plan_fast_pallas(quads, nbytes, interpret=False):
     # --- prediction: prev value in context group ---------------------
     # dense last_hash chain (copy-free): ctx_i = h_{i-1}, 0 at start
     ctx = _pad_prev(h, 0)
-    c_s, i_s, v_s = sortmod.sort(ctx, lidx, sig, n_keys=2,
-                                 interpret=interpret)
+    if n_q <= (1 << 16):
+        # (ctx | index) packs into one u32 key (sign-bias trick, see
+        # chameleon.plan_fast_pallas): 1-key 2-array network instead
+        # of 2-key 3-array -- the sort is VMEM-traffic-bound, so one
+        # fewer carried array is a straight 1/3 cut on this stage
+        bias = jnp.int32(-2**31)
+        kk = (((ctx.astype(jnp.uint32) << 16)
+               | lidx.astype(jnp.uint32)).astype(jnp.int32) ^ bias)
+        kk_s, v_s = sortmod.sort(kk, sig, n_keys=1, interpret=interpret)
+        ku = (kk_s ^ bias).astype(jnp.uint32)
+        c_s = (ku >> 16).astype(jnp.int32)
+        i_s = (ku & 0xFFFF).astype(jnp.int32)
+    else:
+        c_s, i_s, v_s = sortmod.sort(ctx, lidx, sig, n_keys=2,
+                                     interpret=interpret)
     same = c_s == _pad_prev(c_s, -1)
     pred_s = (jnp.where(same, v_s == _pad_prev(v_s, 0), v_s == 0)
               & (i_s < (nbytes[:, None] // 4)))
@@ -197,10 +210,24 @@ def plan_fast_pallas(quads, nbytes, interpret=False):
     h_ctx = (v_s.astype(jnp.uint32) >> 16).astype(jnp.int32)
     real_ctx = i_s < (nbytes[:, None] // 4)
     act_ctx = real_ctx & ~pred_s
-    k2 = ((i_s << 2) | (act_ctx.astype(jnp.int32) << 1)
-          | pred_s.astype(jnp.int32))
-    h_s, k2_s, v2_s = sortmod.sort(h_ctx, k2, v_s, n_keys=2,
-                                   interpret=interpret)
+    if n_q <= (1 << 16):
+        # (hash | index) as one packed key; the act/pred bits ride a
+        # small second array (1-key compares instead of 2-key)
+        bias = jnp.int32(-2**31)
+        kk = (((h_ctx.astype(jnp.uint32) << 16)
+               | i_s.astype(jnp.uint32)).astype(jnp.int32) ^ bias)
+        bits2 = ((act_ctx.astype(jnp.int32) << 1)
+                 | pred_s.astype(jnp.int32))
+        kk_s, b2_s, v2_s = sortmod.sort(kk, bits2, v_s, n_keys=1,
+                                        interpret=interpret)
+        ku2 = (kk_s ^ bias).astype(jnp.uint32)
+        h_s = (ku2 >> 16).astype(jnp.int32)
+        k2_s = (((ku2 & 0xFFFF).astype(jnp.int32) << 2) | b2_s)
+    else:
+        k2 = ((i_s << 2) | (act_ctx.astype(jnp.int32) << 1)
+              | pred_s.astype(jnp.int32))
+        h_s, k2_s, v2_s = sortmod.sort(h_ctx, k2, v_s, n_keys=2,
+                                       interpret=interpret)
     act_s = ((k2_s >> 1) & 1) == 1
     firstg = h_s != _pad_prev(h_s, -1)
     v2_u = v2_s.astype(jnp.uint32)

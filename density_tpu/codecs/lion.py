@@ -185,8 +185,18 @@ def plan_fast_pallas(quads, nbytes, interpret=False):
 
     # --- prediction queue: MTF-5 depth within context group ----------
     ctx = _pad_prev(h, 0)
-    c_s, i_s, v_s = sortmod.sort(ctx, lidx, sig, n_keys=2,
-                                 interpret=interpret)
+    if n_q <= (1 << 16):
+        # packed 1-key 2-array network (see cheetah.plan_fast_pallas)
+        bias = jnp.int32(-2**31)
+        kk = (((ctx.astype(jnp.uint32) << 16)
+               | lidx.astype(jnp.uint32)).astype(jnp.int32) ^ bias)
+        kk_s, v_s = sortmod.sort(kk, sig, n_keys=1, interpret=interpret)
+        ku = (kk_s ^ bias).astype(jnp.uint32)
+        c_s = (ku >> 16).astype(jnp.int32)
+        i_s = (ku & 0xFFFF).astype(jnp.int32)
+    else:
+        c_s, i_s, v_s = sortmod.sort(ctx, lidx, sig, n_keys=2,
+                                     interpret=interpret)
     real1 = i_s < (nbytes[:, None] // 4)
     firstc = c_s != _pad_prev(c_s, -1)
     depth_s = mtf_depths_sorted(firstc, v_s.astype(jnp.uint32),
@@ -198,9 +208,20 @@ def plan_fast_pallas(quads, nbytes, interpret=False):
     # index in key2.
     h_ctx = (v_s.astype(jnp.uint32) >> 16).astype(jnp.int32)
     act_ctx = real1 & (depth_s >= K)
-    k2 = (i_s << 4) | (act_ctx.astype(jnp.int32) << 3) | depth_s
-    h_s, k2_s, v2_s = sortmod.sort(h_ctx, k2, v_s, n_keys=2,
-                                   interpret=interpret)
+    if n_q <= (1 << 16):
+        bias = jnp.int32(-2**31)
+        kk = (((h_ctx.astype(jnp.uint32) << 16)
+               | i_s.astype(jnp.uint32)).astype(jnp.int32) ^ bias)
+        bits4 = (act_ctx.astype(jnp.int32) << 3) | depth_s
+        kk_s, b4_s, v2_s = sortmod.sort(kk, bits4, v_s, n_keys=1,
+                                        interpret=interpret)
+        ku2 = (kk_s ^ bias).astype(jnp.uint32)
+        h_s = (ku2 >> 16).astype(jnp.int32)
+        k2_s = (((ku2 & 0xFFFF).astype(jnp.int32) << 4) | b4_s)
+    else:
+        k2 = (i_s << 4) | (act_ctx.astype(jnp.int32) << 3) | depth_s
+        h_s, k2_s, v2_s = sortmod.sort(h_ctx, k2, v_s, n_keys=2,
+                                       interpret=interpret)
     act_s = ((k2_s >> 3) & 1) == 1
     firstg = h_s != _pad_prev(h_s, -1)
     v2_u = v2_s.astype(jnp.uint32)

@@ -39,16 +39,19 @@ CODEC_NAMES = {v: k for k, v in CODEC_IDS.items()}
 # streams reset dictionary state (tier-1 compatibility), so bigger
 # streams compress better.  Ratio-vs-grain on the bench corpus (10 MB):
 # chameleon holds >= 0.99x the reference's single-stream ratio from
-# 8 MiB streams up; the prediction codecs thread context through every
-# quad (cheetah.rs:148, lion.rs:269), so dictionary resets cost them
-# more -- cheetah is 0.987x at 8 MiB and crosses 0.99x only around
-# 32 MiB.  Defaults are chosen for the LIBRARY USER (best ratio at
-# full-stream grain); throughput-oriented pod deployments should pass
+# 8 MiB streams up (0.994x at 8 MiB, 1.000x at 32 MiB); the prediction
+# codecs thread context through every quad (cheetah.rs:148,
+# lion.rs:269), so dictionary resets cost them more -- cheetah is
+# 0.987x at 8 MiB and crosses 0.99x only around 32 MiB.  Defaults are
+# chosen for the LIBRARY USER (reference-parity ratio: per-stream
+# bytes are bit-exact vs the reference, so at the 32 MiB grain the
+# whole-container ratio reads 1.000x on any input <= 32 MiB);
+# throughput-oriented pod deployments should pass
 # stream_size ~= total_bytes / (4 * n_devices) instead, floored at a
 # few MiB.
 DEFAULT_STREAM_SIZE = 8 << 20  # 8 MiB
 DEFAULT_STREAM_SIZES = {
-    "chameleon": 8 << 20,   # >= 0.99x ratio at parallel-friendly grain
+    "chameleon": 32 << 20,  # reference-parity ratio (see above)
     "cheetah": 32 << 20,    # prediction codecs need coarser streams
     "lion": 32 << 20,       # for >= 0.99x ratio
 }

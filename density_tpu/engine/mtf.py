@@ -64,12 +64,15 @@ def mtf_depths_sorted(first, v_s, valid_s, K: int, axis: int = 0):
     # a chain of elementwise (.., N) ops XLA fuses flat (~6x faster).
     zero = jnp.zeros_like(v_s)
     D = [jnp.where(valid_s, v_s, zero)] + [zero] * (K - 1)
-    cnt = valid_s.astype(jnp.int32)
-    sticky = first
+    # count (3 bits) and sticky (1 bit) packed into one operand -- one
+    # fewer carried array in the traffic-bound doubling scan
+    cs = (valid_s.astype(jnp.int32) << 1) | first.astype(jnp.int32)
 
     def combine(a, b):
-        Da, cnta, sta = a[:K], a[K], a[K + 1]
-        Db, cntb, stb = b[:K], b[K], b[K + 1]
+        Da, csa = a[:K], a[K]
+        Db, csb = b[:K], b[K]
+        cnta = csa >> 1
+        cntb, stb = csb >> 1, (csb & 1) == 1
         # merge: Db ++ (Da \ set(Db)), capped K
         keep = []
         for j in range(K):
@@ -96,12 +99,12 @@ def mtf_depths_sorted(first, v_s, valid_s, K: int, axis: int = 0):
         # sticky: b wins if it is a segment start
         Do = [jnp.where(stb, Db[m], Dm[m]) for m in range(K)]
         cnto = jnp.where(stb, cntb, cntm)
-        return tuple(Do) + (cnto, sta | stb)
+        return tuple(Do) + ((cnto << 1) | ((csa | csb) & 1),)
 
     from density_tpu.engine.grouping import monoid_scan
-    scanned = monoid_scan(combine, tuple(D) + (cnt, sticky),
-                          (0,) * K + (0, False), axis)
-    Ds, cnts = scanned[:K], scanned[K]
+    scanned = monoid_scan(combine, tuple(D) + (cs,),
+                          (0,) * K + (0,), axis)
+    Ds, cnts = scanned[:K], scanned[K] >> 1
 
     # state BEFORE element t: scan at t-1, empty at segment starts
     D_before = [jnp.where(first, 0, jnp.roll(d, 1, axis=axis))

@@ -153,20 +153,37 @@ def resolve_chameleon(is_map, is_plain, h, plain_quad, interpret=False):
     """
     from density_tpu.kernels import bigsort
     S, N = is_map.shape
-    sbh = max(0, (N - 1).bit_length() - 15)  # index bits above 15
     idx = jnp.arange(N, dtype=jnp.int32)[None, :]
     c16 = quad_cmp16(plain_quad)
-    k1 = (h.astype(jnp.int32) << sbh) | (idx >> 15)
     bias = jnp.int32(-2**31)
-    k2 = ((((idx.astype(jnp.uint32) & 0x7FFF) << 17)
-           | (is_plain.astype(jnp.uint32) << 16)
-           | jnp.where(is_plain, c16, 0)).astype(jnp.int32) ^ bias)
-    k1s, k2s = bigsort.sort(k1, k2, n_keys=2, interpret=interpret)
-    k2u = (k2s ^ bias).astype(jnp.uint32)
-    grp = k1s >> sbh
+    if N <= (1 << 16):
+        # (hash | index) packs into ONE u32 key (sign-bias ordering);
+        # (is_plain | fingerprint) rides as the single carried array:
+        # a 1-key 2-array network instead of 2-key 2-array
+        kk = (((h.astype(jnp.uint32) << 16)
+               | idx.astype(jnp.uint32)).astype(jnp.int32) ^ bias)
+        v = ((is_plain.astype(jnp.int32) << 16)
+             | jnp.where(is_plain, c16, 0).astype(jnp.int32))
+        kk_s, v_s = bigsort.sort(kk, v, n_keys=1, interpret=interpret)
+        ku = (kk_s ^ bias).astype(jnp.uint32)
+        grp = (ku >> 16).astype(jnp.int32)
+        idx_back = (ku & 0xFFFF).astype(jnp.int32)
+        isp = ((v_s >> 16) & 1) == 1
+        c16s = (v_s & 0xFFFF).astype(jnp.uint32)
+    else:
+        sbh = (N - 1).bit_length() - 15  # index bits above 15
+        k1 = (h.astype(jnp.int32) << sbh) | (idx >> 15)
+        k2 = ((((idx.astype(jnp.uint32) & 0x7FFF) << 17)
+               | (is_plain.astype(jnp.uint32) << 16)
+               | jnp.where(is_plain, c16, 0)).astype(jnp.int32) ^ bias)
+        k1s, k2s = bigsort.sort(k1, k2, n_keys=2, interpret=interpret)
+        k2u = (k2s ^ bias).astype(jnp.uint32)
+        grp = k1s >> sbh
+        idx_back = (((k1s & ((1 << sbh) - 1)) << 15)
+                    | ((k2u >> 17) & 0x7FFF).astype(jnp.int32))
+        isp = (k2u >> 16) & 1 == 1
+        c16s = k2u & 0xFFFF
     first = grp != _shift1(grp, -1)
-    isp = (k2u >> 16) & 1 == 1
-    c16s = k2u & 0xFFFF
 
     # latest plain's fingerprint before/at each sorted position: the
     # 'has' bit rides above the 16 fingerprint bits (plain entries are
@@ -178,8 +195,6 @@ def resolve_chameleon(is_map, is_plain, h, plain_quad, interpret=False):
     q_rec = quad_from_cmp16(grp.astype(jnp.uint32), fill & 0xFFFF)
     resolved_s = jnp.where(has, q_rec, 0).astype(jnp.int32)
 
-    idx_back = (((k1s & ((1 << sbh) - 1)) << 15)
-                | ((k2u >> 17) & 0x7FFF).astype(jnp.int32))
     _, vr = bigsort.sort(idx_back, resolved_s, n_keys=1,
                          interpret=interpret)
     return jnp.where(is_map, vr.astype(jnp.uint32), plain_quad)
