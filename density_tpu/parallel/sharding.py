@@ -330,9 +330,36 @@ def decompress(data: bytes, mesh=None) -> bytes:
     codec, original_len, stream_size, lengths, off = parse_header(data)
     if original_len == 0:
         return b""
+    from density_tpu import native
+    if (mesh is None and jax.process_count() == 1
+            and native.is_available()):
+        # Container bytes arrive HOST-side: when the native runtime is
+        # present and no explicit mesh was requested, the stream-
+        # parallel host pool is the fastest end-to-end decompress for
+        # every codec on every measured topology (it skips the
+        # host->device->host round trip entirely; on this rig that
+        # transfer alone caps e2e at the tunnel bandwidth). The device
+        # decode paths remain the story for device-resident pipelines
+        # (bench phase D measures them directly), multi-process
+        # meshes, and hosts without a C++ toolchain.
+        s_real_h = len(lengths)
+        if int(lengths.sum()) != len(data) - off:
+            raise DecodeError("stream table does not match payload size")
+        offsets = off + np.concatenate([[0], np.cumsum(lengths)])
+        streams_h = [data[offsets[s]:offsets[s + 1]]
+                     for s in range(s_real_h)]
+        out_lens_h = np.clip(
+            original_len
+            - np.arange(s_real_h, dtype=np.int64) * stream_size,
+            0, stream_size)
+        out = _decode_host_parallel(codec, streams_h, out_lens_h,
+                                    s_real_h)
+        if len(out) != original_len:
+            raise DecodeError(
+                f"decoded {len(out)} bytes, expected {original_len}")
+        return out
     codec, device_args, streams, host_meta = decode_prep(data, mesh)
     original_len, out_lens, copyf, nb_real, s_real, pred_frac = host_meta
-    from density_tpu import native
     if (codec != "chameleon" and jax.process_count() == 1
             and native.is_available()
             and pred_frac > PREDICTED_DEVICE_CUTOFF):
