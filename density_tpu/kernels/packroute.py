@@ -45,22 +45,34 @@ from density_tpu.kernels.unpack import (
     _geom)
 
 
-def _monotone_place(vals, dest, live, nwin):
-    """Route vals[t] (flat (rows,128)) to strictly-increasing
+def _monotone_place(vals, dest, live, out_rows):
+    """Route vals[t] (flat (src_rows,128)) to strictly-increasing
     destinations dest[t] over live t: compact to the rank domain, then
     expand by dest(rank) - rank (nondecreasing). Returns the routed
-    window (zeros elsewhere).
+    (out_rows, 128) window (zeros elsewhere).
+
+    The cumsum + compact run on the SOURCE rows only (ranks never
+    exceed the live-source count), and the rank domain is zero-padded
+    up to the output window for the expand -- for the 8-row signature
+    lattice this trims the compact from 272 window rows to 8.
 
     An element whose routed displacement comes out negative is DROPPED
     silently (`rankm & (e >= 0)`); that can only happen when the
     destination-monotonicity invariant is violated upstream. Callers /
     tests can verify the invariant explicitly with
     `check_route_invariants` (host-level, no production cost)."""
-    rows = vals.shape[0]
-    flat = (jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0) * 128
-            + jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1))
+    src_rows = vals.shape[0]
+    nwin = out_rows * 128
     h = _flat_cumsum_excl((~live).astype(jnp.int32))
-    (v_r, d_r), rankm = _compact_left([vals, dest], h, live, nwin - 1)
+    (v_r, d_r), rankm = _compact_left([vals, dest], h, live,
+                                      src_rows * 128 - 1)
+    if out_rows > src_rows:
+        z = jnp.zeros((out_rows - src_rows, 128), jnp.int32)
+        v_r = jnp.concatenate([v_r, z], axis=0)
+        d_r = jnp.concatenate([d_r, z], axis=0)
+        rankm = jnp.concatenate([rankm, z.astype(jnp.bool_)], axis=0)
+    flat = (jax.lax.broadcasted_iota(jnp.int32, (out_rows, 128), 0) * 128
+            + jax.lax.broadcasted_iota(jnp.int32, (out_rows, 128), 1))
     e = d_r - flat
     (v_w,), placed = _expand_right([v_r], e, rankm & (e >= 0), nwin - 1)
     return jnp.where(placed, v_w, 0)
@@ -106,7 +118,6 @@ def check_route_invariants(flags, pw, nbytes, *, q, sig_words, block,
 
 def _make_kernel(q, sig_words):
     nbg, span, wrows, srows, brows = _geom(q, sig_words)
-    nwin = wrows * 128
 
     def kernel(gw_ref, pw_ref, w0_ref, w1_ref, dest_ref, sig_ref,
                sigdest_ref, out_ref, base_ref):
@@ -117,19 +128,16 @@ def _make_kernel(q, sig_words):
             base_ref[0] = 0
             out_ref[0] = jnp.zeros((out_ref.shape[1], 128), jnp.uint32)
 
-        pad = jnp.zeros((wrows - QROWS, 128), jnp.int32)
-        pw = jnp.concatenate([pw_ref[0], pad], axis=0)
-        w0 = jnp.concatenate([w0_ref[0], pad], axis=0)
-        w1 = jnp.concatenate([w1_ref[0], pad], axis=0)
-        dest = jnp.concatenate([dest_ref[0], pad], axis=0)
+        pw = pw_ref[0]
+        w0 = w0_ref[0]
+        w1 = w1_ref[0]
+        dest = dest_ref[0]
 
-        win = _monotone_place(w0, dest, pw >= 1, nwin)
-        win = win | _monotone_place(w1, dest + 1, pw == 2, nwin)
+        win = _monotone_place(w0, dest, pw >= 1, wrows)
+        win = win | _monotone_place(w1, dest + 1, pw == 2, wrows)
 
-        spad = jnp.zeros((wrows - srows, 128), jnp.int32)
-        sig = jnp.concatenate([sig_ref[0], spad], axis=0)
-        sigd = jnp.concatenate([sigdest_ref[0], spad], axis=0)
-        win = win | _monotone_place(sig, sigd, sigd >= 0, nwin)
+        win = win | _monotone_place(sig_ref[0], sigdest_ref[0],
+                                    sigdest_ref[0] >= 0, wrows)
 
         # OR the group window into the output at the running word base
         base = base_ref[0]

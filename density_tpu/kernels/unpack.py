@@ -225,36 +225,42 @@ def _make_kernel2(q, sig_words):
         comp = comp_ref[0]
         c3 = c3_ref[0]          # (QROWS, 128); -1 marks no-payload
         live = c3 >= 0
-        pad = jnp.zeros((wrows - QROWS, 128), jnp.int32)
-        c3w = jnp.concatenate([c3, pad], axis=0)
-        livew = jnp.concatenate(
-            [live, pad.astype(jnp.bool_)], axis=0)
 
         # token -> payload-position routing in two monotone hops:
         # compact to the live-token RANK domain (displacement
         # #no-payload-before, nondecreasing), then expand by
         # c(rank) - rank (= #2-word tokens before, nondecreasing) --
         # the direct c(t) - t displacement is sign-mixed once 0-payload
-        # (predicted) tokens exist
+        # (predicted) tokens exist.  The compact and the final expand
+        # run on the TOKEN rows only (ranks and token destinations
+        # never exceed GQ); only the rank -> payload-position hop
+        # spans the full window.
+        flat_q = (jax.lax.broadcasted_iota(jnp.int32, (QROWS, 128), 0)
+                  * 128
+                  + jax.lax.broadcasted_iota(jnp.int32, (QROWS, 128), 1))
+        h1 = _flat_cumsum_excl((~live).astype(jnp.int32))
+        (c_r, t_r), rankm = _compact_left([c3, flat_q], h1, live,
+                                          GQ - 1)
+        pad = jnp.zeros((wrows - QROWS, 128), jnp.int32)
+        c_rw = jnp.concatenate([c_r, pad], axis=0)
+        rankmw = jnp.concatenate([rankm, pad.astype(jnp.bool_)], axis=0)
         flat_w = (jax.lax.broadcasted_iota(jnp.int32, (wrows, 128), 0)
                   * 128
                   + jax.lax.broadcasted_iota(jnp.int32, (wrows, 128), 1))
-        h1 = _flat_cumsum_excl((~livew).astype(jnp.int32))
-        (c_r, t_r), rankm = _compact_left([c3w, flat_w], h1, livew,
-                                          nwin - 1)
-        e2 = c_r - flat_w
-        _, keep0 = _expand_right([], e2, rankm & (e2 >= 0), nwin - 1)
+        e2 = c_rw - flat_w
+        _, keep0 = _expand_right([], e2, rankmw & (e2 >= 0), nwin - 1)
 
         comp1 = _fshift(comp, -1, jnp.int32(0))
         h0 = _flat_cumsum_excl((~keep0).astype(jnp.int32))
         (w0r, w1r), _ = _compact_left([comp, comp1], h0, keep0,
                                       nwin - 1)
         # rank order -> token lattice (displacement #no-payload-before)
-        et = t_r - flat_w
-        (w0t, w1t), _ = _expand_right([w0r, w1r], et,
-                                      rankm & (et >= 0), nwin - 1)
-        out_w0[0] = jnp.where(live, w0t[0:QROWS, :], 0)
-        out_w1[0] = jnp.where(live, w1t[0:QROWS, :], 0)
+        et = t_r - flat_q
+        (w0t, w1t), _ = _expand_right([w0r[0:QROWS, :],
+                                       w1r[0:QROWS, :]], et,
+                                      rankm & (et >= 0), GQ - 1)
+        out_w0[0] = jnp.where(live, w0t, 0)
+        out_w1[0] = jnp.where(live, w1t, 0)
 
     return kernel
 
