@@ -211,26 +211,34 @@ def plan_fast_pallas(quads, nbytes, interpret=False):
     real_ctx = i_s < (nbytes[:, None] // 4)
     act_ctx = real_ctx & ~pred_s
     if n_q <= (1 << 16):
-        # (hash | index) as one packed key; the act/pred bits ride a
-        # small second array (1-key compares instead of 2-key)
+        # (hash | index) as one packed key -- and because the dict
+        # group IS the element's own hash (sig32's top half), value
+        # equality within a group reduces to the 16-bit fingerprint:
+        # the whole MTF payload (fingerprint + act/pred bits) rides
+        # ONE 19-bit array. The h != 0 offset keeps the zero-init
+        # convention exact: state 0 matches only quad 0 (sig32 == 0),
+        # never a nonzero quad whose fingerprint happens to be 0.
         bias = jnp.int32(-2**31)
         kk = (((h_ctx.astype(jnp.uint32) << 16)
                | i_s.astype(jnp.uint32)).astype(jnp.int32) ^ bias)
-        bits2 = ((act_ctx.astype(jnp.int32) << 1)
-                 | pred_s.astype(jnp.int32))
-        kk_s, b2_s, v2_s = sortmod.sort(kk, bits2, v_s, n_keys=1,
-                                        interpret=interpret)
+        vp = ((v_s & 0xFFFF)
+              | jnp.where(h_ctx != 0, jnp.int32(1 << 16), 0))
+        payload = ((vp << 2) | (act_ctx.astype(jnp.int32) << 1)
+                   | pred_s.astype(jnp.int32))
+        kk_s, p_s = sortmod.sort(kk, payload, n_keys=1,
+                                 interpret=interpret)
         ku2 = (kk_s ^ bias).astype(jnp.uint32)
         h_s = (ku2 >> 16).astype(jnp.int32)
-        k2_s = (((ku2 & 0xFFFF).astype(jnp.int32) << 2) | b2_s)
+        k2_s = (((ku2 & 0xFFFF).astype(jnp.int32) << 2) | (p_s & 3))
+        v2_u = (p_s >> 2).astype(jnp.uint32)
     else:
         k2 = ((i_s << 2) | (act_ctx.astype(jnp.int32) << 1)
               | pred_s.astype(jnp.int32))
         h_s, k2_s, v2_s = sortmod.sort(h_ctx, k2, v_s, n_keys=2,
                                        interpret=interpret)
+        v2_u = v2_s.astype(jnp.uint32)
     act_s = ((k2_s >> 1) & 1) == 1
     firstg = h_s != _pad_prev(h_s, -1)
-    v2_u = v2_s.astype(jnp.uint32)
     front, second = seg_mtf2_before(firstg, v2_u, act_s, axis=1)
     a_s = v2_u == front
     b_s = ~a_s & (v2_u == second)

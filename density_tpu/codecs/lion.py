@@ -209,22 +209,29 @@ def plan_fast_pallas(quads, nbytes, interpret=False):
     h_ctx = (v_s.astype(jnp.uint32) >> 16).astype(jnp.int32)
     act_ctx = real1 & (depth_s >= K)
     if n_q <= (1 << 16):
+        # packed key + single 21-bit payload (fingerprint with the
+        # h != 0 zero-init offset, act bit, MTF-5 depth) -- see
+        # cheetah.plan_fast_pallas for the in-group equality argument
         bias = jnp.int32(-2**31)
         kk = (((h_ctx.astype(jnp.uint32) << 16)
                | i_s.astype(jnp.uint32)).astype(jnp.int32) ^ bias)
-        bits4 = (act_ctx.astype(jnp.int32) << 3) | depth_s
-        kk_s, b4_s, v2_s = sortmod.sort(kk, bits4, v_s, n_keys=1,
-                                        interpret=interpret)
+        vp = ((v_s & 0xFFFF)
+              | jnp.where(h_ctx != 0, jnp.int32(1 << 16), 0))
+        payload = ((vp << 4) | (act_ctx.astype(jnp.int32) << 3)
+                   | depth_s)
+        kk_s, p_s = sortmod.sort(kk, payload, n_keys=1,
+                                 interpret=interpret)
         ku2 = (kk_s ^ bias).astype(jnp.uint32)
         h_s = (ku2 >> 16).astype(jnp.int32)
-        k2_s = (((ku2 & 0xFFFF).astype(jnp.int32) << 4) | b4_s)
+        k2_s = (((ku2 & 0xFFFF).astype(jnp.int32) << 4) | (p_s & 15))
+        v2_u = (p_s >> 4).astype(jnp.uint32)
     else:
         k2 = (i_s << 4) | (act_ctx.astype(jnp.int32) << 3) | depth_s
         h_s, k2_s, v2_s = sortmod.sort(h_ctx, k2, v_s, n_keys=2,
                                        interpret=interpret)
+        v2_u = v2_s.astype(jnp.uint32)
     act_s = ((k2_s >> 3) & 1) == 1
     firstg = h_s != _pad_prev(h_s, -1)
-    v2_u = v2_s.astype(jnp.uint32)
     front, second = seg_mtf2_before(firstg, v2_u, act_s, axis=1)
     a_s = v2_u == front
     b_s = ~a_s & (v2_u == second)
