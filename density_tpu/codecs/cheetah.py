@@ -45,6 +45,7 @@ from density_tpu.constants import CHEETAH as SPEC
 from density_tpu.engine.grouping import (
     hash_quads, prev_valid_value_in_group, mru2_state_in_group,
     sort_with, unsort_with, shift_right, seg_mtf2_before,
+    seg_mtf2_before_packed,
     seg_sel2_before, seg_last_active_before, ctx_fill,
     OP_ID, OP_SWAP, OP_INS)
 from density_tpu.engine import layout
@@ -231,15 +232,20 @@ def plan_fast_pallas(quads, nbytes, interpret=False):
         h_s = (ku2 >> 16).astype(jnp.int32)
         k2_s = (((ku2 & 0xFFFF).astype(jnp.int32) << 2) | (p_s & 3))
         v2_u = (p_s >> 2).astype(jnp.uint32)
+        act_s = ((k2_s >> 1) & 1) == 1
+        firstg = h_s != _pad_prev(h_s, -1)
+        # 17-bit values: the MTF-2 scan state packs into 2 operands
+        front, second = seg_mtf2_before_packed(firstg, v2_u, act_s,
+                                               axis=1)
     else:
         k2 = ((i_s << 2) | (act_ctx.astype(jnp.int32) << 1)
               | pred_s.astype(jnp.int32))
         h_s, k2_s, v2_s = sortmod.sort(h_ctx, k2, v_s, n_keys=2,
                                        interpret=interpret)
         v2_u = v2_s.astype(jnp.uint32)
-    act_s = ((k2_s >> 1) & 1) == 1
-    firstg = h_s != _pad_prev(h_s, -1)
-    front, second = seg_mtf2_before(firstg, v2_u, act_s, axis=1)
+        act_s = ((k2_s >> 1) & 1) == 1
+        firstg = h_s != _pad_prev(h_s, -1)
+        front, second = seg_mtf2_before(firstg, v2_u, act_s, axis=1)
     a_s = v2_u == front
     b_s = ~a_s & (v2_u == second)
     packed2 = (((k2_s >> 2) << 3) | ((k2_s & 1) << 2)

@@ -41,7 +41,8 @@ import numpy as np
 from density_tpu.constants import LION as SPEC
 from density_tpu.engine.grouping import (
     hash_quads, mru2_state_in_group, sort_with, unsort_with, shift_right,
-    seg_mtf2_before, seg_sel2_before, seg_selq_before, ctx_fill,
+    seg_mtf2_before, seg_mtf2_before_packed, seg_sel2_before,
+    seg_selq_before, ctx_fill,
     OP_ID, OP_SWAP, OP_INS)
 from density_tpu.engine.mtf import mtf_depths_in_group, mtf_depths_sorted
 from density_tpu.engine import layout
@@ -225,14 +226,19 @@ def plan_fast_pallas(quads, nbytes, interpret=False):
         h_s = (ku2 >> 16).astype(jnp.int32)
         k2_s = (((ku2 & 0xFFFF).astype(jnp.int32) << 4) | (p_s & 15))
         v2_u = (p_s >> 4).astype(jnp.uint32)
+        act_s = ((k2_s >> 3) & 1) == 1
+        firstg = h_s != _pad_prev(h_s, -1)
+        # 17-bit values: the MTF-2 scan state packs into 2 operands
+        front, second = seg_mtf2_before_packed(firstg, v2_u, act_s,
+                                               axis=1)
     else:
         k2 = (i_s << 4) | (act_ctx.astype(jnp.int32) << 3) | depth_s
         h_s, k2_s, v2_s = sortmod.sort(h_ctx, k2, v_s, n_keys=2,
                                        interpret=interpret)
         v2_u = v2_s.astype(jnp.uint32)
-    act_s = ((k2_s >> 3) & 1) == 1
-    firstg = h_s != _pad_prev(h_s, -1)
-    front, second = seg_mtf2_before(firstg, v2_u, act_s, axis=1)
+        act_s = ((k2_s >> 3) & 1) == 1
+        firstg = h_s != _pad_prev(h_s, -1)
+        front, second = seg_mtf2_before(firstg, v2_u, act_s, axis=1)
     a_s = v2_u == front
     b_s = ~a_s & (v2_u == second)
     packed2 = (((k2_s >> 4) << 5) | ((k2_s & 7) << 2)

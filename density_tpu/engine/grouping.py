@@ -178,6 +178,49 @@ def seg_mtf2_before(first, vals, active, axis: int = 0):
     return front, second
 
 
+def seg_mtf2_before_packed(first, vals, active, axis: int = 1):
+    """seg_mtf2_before for values that fit 17 bits (the planners'
+    in-group fingerprints): the whole (front, second, cnt, sticky)
+    state packs into TWO scan operands (front | second+cnt+sticky) --
+    the doubling scan is traffic-bound, so 2 carried arrays instead of
+    3 is a straight cut. Semantics identical to seg_mtf2_before."""
+    d0 = jnp.where(active, vals.astype(jnp.int32), 0)
+    cs0 = ((active.astype(jnp.int32) << 17)
+           | (first.astype(jnp.int32) << 19))
+
+    def combine(a, b):
+        a0, pa = a
+        b0, pb = b
+        a1 = pa & 0x1FFFF
+        b1 = pb & 0x1FFFF
+        ca = (pa >> 17) & 3
+        cb = (pb >> 17) & 3
+        sb = (pb >> 19) == 1
+        in_b0 = ((cb >= 1) & (a0 == b0)) | ((cb >= 2) & (a0 == b1))
+        in_b1 = ((cb >= 1) & (a1 == b0)) | ((cb >= 2) & (a1 == b1))
+        keep0 = (ca >= 1) & ~in_b0
+        keep1 = (ca >= 2) & ~in_b1
+        first_kept = jnp.where(keep0, a0, a1)
+        any_kept = keep0 | keep1
+        m0 = jnp.where(cb >= 1, b0, jnp.where(any_kept, first_kept, 0))
+        m1 = jnp.where(cb >= 2, b1,
+                       jnp.where(cb == 1,
+                                 jnp.where(any_kept, first_kept, 0),
+                                 jnp.where(keep0 & keep1, a1, 0)))
+        cm = jnp.minimum(cb + keep0.astype(jnp.int32)
+                         + keep1.astype(jnp.int32), 2)
+        o0 = jnp.where(sb, b0, m0)
+        o1 = jnp.where(sb, b1, m1)
+        co = jnp.where(sb, cb, cm)
+        return o0, (o1 | (co << 17) | ((pa | pb) & (1 << 19)))
+
+    i0, ip = monoid_scan(combine, (d0, cs0), (0, 0), axis)
+    i1 = ip & 0x1FFFF
+    front = jnp.where(first, 0, shift_right(i0, 0, axis))
+    second = jnp.where(first, 0, shift_right(i1, 0, axis))
+    return front.astype(vals.dtype), second.astype(vals.dtype)
+
+
 OP_ID, OP_SWAP, OP_INS = 0, 1, 2
 
 
