@@ -161,6 +161,73 @@ def _expand_right(arrays, e, live, max_disp: int):
     return vs, hh == 0
 
 
+# Packed variants: every payload is a 16-bit value (low halfword), so
+# the routing displacement rides the HIGH 16 bits of the first array
+# and each pass shifts len(arrays) arrays instead of len(arrays)+1 --
+# the same diet bigsort/packroute got in r5 (fewer carried operands is
+# the whole cost model of these shift networks).  hh == 0xFFFF is the
+# 'dropped' sentinel, so max_disp must be <= 0xFFFE (the unpack
+# windows are < 40k words for every codec).
+
+_SENT16 = -65536  # hh = 0xFFFF, value = 0
+
+
+def _w16(v: int) -> int:
+    """Python int -> int32 two's-complement value (jnp literals must
+    fit int32; (1 << 15) << 16 wraps to the sign bit)."""
+    v &= 0xFFFFFFFF
+    return v - (1 << 32) if v >= (1 << 31) else v
+
+
+def _compact_left16(arrays, h, keep, max_disp: int):
+    """_compact_left for 16-bit payloads (displacement packed into
+    arrays[0]'s high halfword).  Dropped/empty positions return 0."""
+    assert max_disp <= 0xFFFE, max_disp
+    w0 = jnp.where(keep, (h << 16) | (arrays[0] & 0xFFFF),
+                   jnp.int32(_SENT16))
+    rest = [jnp.where(keep, v, 0) for v in arrays[1:]]
+    K = max(1, (max_disp).bit_length())
+    for k in range(K):
+        s = 1 << k
+        y0 = _fshift(w0, -s, jnp.int32(_SENT16))
+        yr = [_fshift(v, -s, jnp.int32(0)) for v in rest]
+        yh = (y0 >> 16) & 0xFFFF
+        hh = (w0 >> 16) & 0xFFFF
+        take = (yh != 0xFFFF) & (((yh >> k) & 1) == 1)
+        stay = (hh != 0xFFFF) & (((hh >> k) & 1) == 0)
+        w0 = jnp.where(take, y0 - _w16(s << 16),
+                       jnp.where(stay, w0, jnp.int32(_SENT16)))
+        rest = [jnp.where(take, y, jnp.where(stay, v, 0))
+                for y, v in zip(yr, rest)]
+    arrived = ((w0 >> 16) & 0xFFFF) == 0
+    return ([jnp.where(arrived, w0 & 0xFFFF, 0)]
+            + [jnp.where(arrived, v, 0) for v in rest]), arrived
+
+
+def _expand_right16(arrays, e, live, max_disp: int):
+    """_expand_right for 16-bit payloads (displacement packed)."""
+    assert max_disp <= 0xFFFE, max_disp
+    w0 = jnp.where(live, (e << 16) | (arrays[0] & 0xFFFF),
+                   jnp.int32(_SENT16))
+    rest = [jnp.where(live, v, 0) for v in arrays[1:]]
+    K = max(1, (max_disp).bit_length())
+    for k in reversed(range(K)):
+        s = 1 << k
+        y0 = _fshift(w0, s, jnp.int32(_SENT16))
+        yr = [_fshift(v, s, jnp.int32(0)) for v in rest]
+        yh = (y0 >> 16) & 0xFFFF
+        hh = (w0 >> 16) & 0xFFFF
+        take = (yh != 0xFFFF) & (((yh >> k) & 1) == 1)
+        stay = (hh != 0xFFFF) & (((hh >> k) & 1) == 0)
+        w0 = jnp.where(take, y0 - _w16(s << 16),
+                       jnp.where(stay, w0, jnp.int32(_SENT16)))
+        rest = [jnp.where(take, y, jnp.where(stay, v, 0))
+                for y, v in zip(yr, rest)]
+    arrived = ((w0 >> 16) & 0xFFFF) == 0
+    return ([jnp.where(arrived, w0 & 0xFFFF, 0)]
+            + [jnp.where(arrived, v, 0) for v in rest]), arrived
+
+
 def _make_kernel1(q, sig_words):
     nbg, span, wrows, srows, brows = _geom(q, sig_words)
     nwin = wrows * 128
@@ -185,20 +252,22 @@ def _make_kernel1(q, sig_words):
              jnp.zeros((wrows - brows, 128), jnp.bool_)], axis=0)
         cf_pad = jnp.concatenate(
             [cf, jnp.zeros((wrows - brows, 128), jnp.int32)], axis=0)
-        (cp_w,), arrived = _expand_right([cf_pad], e0, live0, nwin - 1)
+        (cp_w,), arrived = _expand_right16([cf_pad], e0, live0,
+                                           nwin - 1)
         start_all = arrived
         start_nc = arrived & (cp_w == 0)
 
         # smear sig_words wide (copy blocks get pseudo-signature reads
         # so the block-major signature layout stays dense; their flags
-        # are overridden by the XLA stage)
-        sig_keep = start_all
-        sig_drop = start_nc
+        # are overridden by the XLA stage); both marker sets ride one
+        # shifted word (bit0 = any start, bit1 = non-copy start)
+        both = start_all.astype(jnp.int32) | (start_nc.astype(jnp.int32)
+                                              << 1)
+        acc = both
         for i in range(1, sig_words):
-            sig_keep = sig_keep | _fshift(start_all.astype(jnp.int32),
-                                          i, 0).astype(jnp.bool_)
-            sig_drop = sig_drop | _fshift(start_nc.astype(jnp.int32),
-                                          i, 0).astype(jnp.bool_)
+            acc = acc | _fshift(both, i, 0)
+        sig_keep = (acc & 1) == 1
+        sig_drop = (acc & 2) == 2
 
         w0s = jnp.clip(wofff_ref[0, 0, 0], 0, nwin - 1)
         in_block = flat_w >= w0s
@@ -206,12 +275,14 @@ def _make_kernel1(q, sig_words):
 
         # --- pass 1: signature words ---------------------------------
         h_sig = _flat_cumsum_excl((~sig_keep).astype(jnp.int32))
-        (sig_c,), _ = _compact_left([window], h_sig, sig_keep, nwin - 1)
+        (sig_c,), _ = _compact_left16([window], h_sig, sig_keep,
+                                      nwin - 1)
         out_sig[0] = sig_c[0:srows, :]
 
         # --- pass 2: payload stream ----------------------------------
         h_pay = _flat_cumsum_excl((~pay_keep).astype(jnp.int32))
-        (comp,), _ = _compact_left([window], h_pay, pay_keep, nwin - 1)
+        (comp,), _ = _compact_left16([window], h_pay, pay_keep,
+                                     nwin - 1)
         out_comp[0] = comp
 
     return kernel
@@ -239,8 +310,8 @@ def _make_kernel2(q, sig_words):
                   * 128
                   + jax.lax.broadcasted_iota(jnp.int32, (QROWS, 128), 1))
         h1 = _flat_cumsum_excl((~live).astype(jnp.int32))
-        (c_r, t_r), rankm = _compact_left([c3, flat_q], h1, live,
-                                          GQ - 1)
+        (c_r, t_r), rankm = _compact_left16([c3, flat_q], h1, live,
+                                            GQ - 1)
         pad = jnp.zeros((wrows - QROWS, 128), jnp.int32)
         c_rw = jnp.concatenate([c_r, pad], axis=0)
         rankmw = jnp.concatenate([rankm, pad.astype(jnp.bool_)], axis=0)
@@ -250,17 +321,18 @@ def _make_kernel2(q, sig_words):
         e2 = c_rw - flat_w
         _, keep0 = _expand_right([], e2, rankmw & (e2 >= 0), nwin - 1)
 
+        # (w0, w1) ride one i32 as a packed halfword pair: the pair
+        # compact and the final expand move ONE value array each
         comp1 = _fshift(comp, -1, jnp.int32(0))
+        pair = (comp & 0xFFFF) | (comp1 << 16)
         h0 = _flat_cumsum_excl((~keep0).astype(jnp.int32))
-        (w0r, w1r), _ = _compact_left([comp, comp1], h0, keep0,
-                                      nwin - 1)
+        (pair_r,), _ = _compact_left([pair], h0, keep0, nwin - 1)
         # rank order -> token lattice (displacement #no-payload-before)
         et = t_r - flat_q
-        (w0t, w1t), _ = _expand_right([w0r[0:QROWS, :],
-                                       w1r[0:QROWS, :]], et,
-                                      rankm & (et >= 0), GQ - 1)
-        out_w0[0] = jnp.where(live, w0t, 0)
-        out_w1[0] = jnp.where(live, w1t, 0)
+        (pair_t,), _ = _expand_right([pair_r[0:QROWS, :]], et,
+                                     rankm & (et >= 0), GQ - 1)
+        out_w0[0] = jnp.where(live, pair_t & 0xFFFF, 0)
+        out_w1[0] = jnp.where(live, (pair_t >> 16) & 0xFFFF, 0)
 
     return kernel
 
